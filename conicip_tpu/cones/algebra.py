@@ -1,0 +1,176 @@
+"""Euclidean-Jordan-algebra kernels over a cone product, batched per group.
+
+TPU-first rewrite of the reference's per-cone dispatch loops
+(``∘``/``÷``/``maxstep``, ConicIP.jl:305-360 and 571-665): every cone *group*
+(all R coordinates; all Q cones of one dim; all S cones of one order) is
+processed by one vectorized kernel, so a product of hundreds of small cones
+costs a handful of fused XLA ops instead of a Python/Julia loop.
+
+All functions take 1-D ``(m,)`` vectors; batching over problem instances is
+done with ``jax.vmap`` at a higher layer.
+
+Semantics (matching the reference exactly):
+
+- ``cone_prod(spec, x, y)``  = x ∘ y   (Jordan product)
+- ``cone_div(spec, x, y)``   = o such that y ∘ o = x  (ConicIP.jl:607-620;
+  note the reference's ``÷(x,y)`` divides x *by* y)
+- ``maxstep(spec, x, d)``    = sup { α : x - α d ∈ K }  (ConicIP.jl:571-587)
+- ``maxstep_to_cone(spec, x)`` = 0 if x strictly interior, else a negative
+  shift magnitude, matching the reference's ``maxstep_*(x, nothing)``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .spec import ConeSpec
+from .symm import mat, vecm
+
+__all__ = [
+    "cone_prod",
+    "cone_div",
+    "maxstep",
+    "maxstep_to_cone",
+    "lyap_solve",
+]
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+# ──────────────────────────────────────────────────────────────
+#  Jordan product x ∘ y
+# ──────────────────────────────────────────────────────────────
+
+
+def cone_prod(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    o = jnp.zeros_like(x)
+    if spec.nr:
+        o = o.at[spec.r_idx].set(x[spec.r_idx] * y[spec.r_idx])
+    for g in spec.soc_groups:
+        xg = x[g.idx]  # (k, dim)
+        yg = y[g.idx]
+        head = _dot(xg, yg)  # (k,)
+        tail = xg[:, :1] * yg[:, 1:] + yg[:, :1] * xg[:, 1:]
+        o = o.at[g.idx].set(jnp.concatenate([head[:, None], tail], axis=1))
+    for g in spec.sdp_groups:
+        X = mat(x[g.idx])  # (k, d, d)
+        Y = mat(y[g.idx])
+        P = X @ Y + Y @ X  # symmetrized product (xsdc!, ConicIP.jl:355-360)
+        o = o.at[g.idx].set(vecm(P))
+    return o
+
+
+# ──────────────────────────────────────────────────────────────
+#  Jordan division: solve y ∘ o = x
+# ──────────────────────────────────────────────────────────────
+
+
+def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+    """Solve ``Y O + O Y = X`` for symmetric Y, X, batched over leading dims.
+
+    TPU-native replacement for the reference's LAPACK ``lyap`` call
+    (dsdc!, ConicIP.jl:347-353): eigendecompose Y = U diag(w) Uᵀ, then
+    O = U ( (Uᵀ X U)_{ij} / (w_i + w_j) ) Uᵀ — one batched eigh plus matmuls.
+    """
+    w, U = jnp.linalg.eigh(Y)
+    Xt = jnp.swapaxes(U, -1, -2) @ X @ U
+    denom = w[..., :, None] + w[..., None, :]
+    O = Xt / denom
+    return U @ O @ jnp.swapaxes(U, -1, -2)
+
+
+def cone_div(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    o = jnp.zeros_like(x)
+    if spec.nr:
+        o = o.at[spec.r_idx].set(x[spec.r_idx] / y[spec.r_idx])
+    for g in spec.soc_groups:
+        # Arrow-matrix inverse applied to x, arrow built from y
+        # (closed form, dsoc! ConicIP.jl:317-338).
+        xg = x[g.idx]
+        yg = y[g.idx]
+        y1 = yg[:, :1]
+        yb = yg[:, 1:]
+        x1 = xg[:, :1]
+        xb = xg[:, 1:]
+        alpha = y1 * y1 - _dot(yb, yb)[:, None]  # (k, 1)
+        ybxb = _dot(yb, xb)[:, None]
+        head = (y1 * x1 - ybxb) / alpha
+        beta1 = (-x1 / alpha) + ybxb / (y1 * alpha)
+        beta2 = 1.0 / y1
+        tail = yb * beta1 + xb * beta2
+        o = o.at[g.idx].set(jnp.concatenate([head, tail], axis=1))
+    for g in spec.sdp_groups:
+        X = mat(x[g.idx])
+        Y = mat(y[g.idx])
+        o = o.at[g.idx].set(vecm(lyap_solve(Y, X)))
+    return o
+
+
+# ──────────────────────────────────────────────────────────────
+#  Max step to boundary: sup { α : x - α d ∈ K }
+# ──────────────────────────────────────────────────────────────
+
+
+def _qf(x):
+    """SOC quadratic form x₁² - ‖x₂:‖² (reference ``QF``, ConicIP.jl:160)."""
+    return 2.0 * x[..., 0] * x[..., 0] - _dot(x, x)
+
+
+def maxstep(spec: ConeSpec, x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
+    inf = jnp.asarray(jnp.inf, x.dtype)
+    steps = [inf]
+    if spec.nr:
+        xr, dr = x[spec.r_idx], d[spec.r_idx]
+        steps.append(jnp.min(jnp.where(dr > 0, xr / dr, inf)))
+    for g in spec.soc_groups:
+        xg = x[g.idx]
+        dn = -d[g.idx]
+        gam = _qf(xg)  # (k,)
+        sg = jnp.sqrt(gam)
+        xbar = xg / sg[:, None]
+        beta = 2.0 * xbar[:, 0] * dn[:, 0] - _dot(xbar, dn)
+        rho1 = beta / sg
+        mu = (beta + dn[:, 0]) / (xbar[:, 0] + 1.0)
+        rho2 = dn[:, 1:] - mu[:, None] * xbar[:, 1:]
+        a = jnp.linalg.norm(rho2, axis=-1) / sg - rho1
+        steps.append(jnp.min(jnp.where(a < 0, inf, 1.0 / a)))
+    for g in spec.sdp_groups:
+        X = mat(x[g.idx])
+        D = mat(d[g.idx])
+        wX, U = jnp.linalg.eigh(X)
+        pd = jnp.all(wX > 0, axis=-1)  # (k,)
+        w_safe = jnp.maximum(wX, jnp.finfo(x.dtype).tiny)
+        Xih = (U * jax.lax.rsqrt(w_safe)[..., None, :]) @ jnp.swapaxes(U, -1, -2)
+        M = Xih @ D @ Xih
+        M = 0.5 * (M + jnp.swapaxes(M, -1, -2))
+        lam = jnp.linalg.eigvalsh(M)
+        all_neg = jnp.all(lam < 0, axis=-1)
+        mx = jnp.max(jnp.where(lam < 0, -inf, lam), axis=-1)
+        a = jnp.where(all_neg, inf, 1.0 / mx)
+        a = jnp.where(pd, a, inf)  # X not PD ⇒ Inf (ConicIP.jl:277-280)
+        steps.append(jnp.min(a))
+    return jnp.min(jnp.stack(steps))
+
+
+def maxstep_to_cone(spec: ConeSpec, x: jnp.ndarray) -> jnp.ndarray:
+    """The reference's ``maxstep_*(x, nothing)`` variants (ConicIP.jl:227-303):
+    0 if x is strictly in the cone, otherwise ``-1 - sup{α : -x + αe ≥ 0}``-style
+    negative shift used to push the initial point inside."""
+    zero = jnp.asarray(0.0, x.dtype)
+    steps = [zero]
+    if spec.nr:
+        xr = x[spec.r_idx]
+        mn = jnp.min(xr)
+        steps.append(jnp.where(mn > 0, 0.0, -1.0 + mn))
+    for g in spec.soc_groups:
+        xg = x[g.idx]
+        a = jnp.linalg.norm(xg[:, 1:], axis=-1) - xg[:, 0]
+        steps.append(jnp.min(jnp.where(a < 0, 0.0, -1.0 - a)))
+    for g in spec.sdp_groups:
+        X = mat(x[g.idx])
+        mn = jnp.min(jnp.linalg.eigvalsh(X), axis=-1)
+        steps.append(jnp.min(jnp.where(mn > 0, 0.0, -1.0 + mn)))
+    return jnp.min(jnp.stack(steps))

@@ -1,0 +1,215 @@
+"""Structured Nesterov-Todd scaling operators.
+
+The reference materializes the NT scaling as a heterogeneous block-diagonal
+``Block`` matrix of ``Diagonal`` / ``SymWoodbury`` / ``VecCongurance`` blocks
+(ConicIP.jl:165-210, 589-605; blockmatrices.jl). The TPU-native design keeps
+the same three *structures* but stores them as flat batched arrays inside one
+pytree and never materializes anything:
+
+- R block:  ``F = diag(r_d)``
+- Q group:  per cone ``F = diag(d) + alpha * u uᵀ``  (diag + rank-1, the
+  SymWoodbury structure of ``nestod_soc``)
+- S group:  per cone ``F x = vecm(Sᵀ mat(x) S)``  (the ``VecCongurance`` of
+  ``nestod_sdc``)
+
+Applying F (or Fᵀ, F⁻ᵀ) to a vector or to the rows of a matrix is a few
+batched elementwise ops / matmuls — MXU-friendly and fully fused by XLA.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .spec import ConeSpec
+from .symm import mat, vecm
+
+__all__ = [
+    "NTScaling",
+    "nt_scaling",
+    "nt_identity",
+    "nt_inv_adjoint",
+    "apply",
+    "apply_adjoint",
+    "apply_mat",
+    "apply_adjoint_mat",
+]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SocScaling:
+    d: jnp.ndarray  # (k, dim) diagonal entries
+    u: jnp.ndarray  # (k, dim) rank-1 factor
+    alpha: jnp.ndarray  # (k,) rank-1 weight
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SdpScaling:
+    S: jnp.ndarray  # (k, d, d): F x = vecm(Sᵀ mat(x) S)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class NTScaling:
+    r_d: jnp.ndarray  # (nr,)
+    soc: Tuple[SocScaling, ...]
+    sdp: Tuple[SdpScaling, ...]
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _qf(x):
+    return 2.0 * x[..., 0] * x[..., 0] - _dot(x, x)
+
+
+def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray) -> NTScaling:
+    """NT scaling F with ``F z = F⁻ᵀ s = λ`` (ConicIP.jl:589-605)."""
+    r_d = jnp.sqrt(s[spec.r_idx] / z[spec.r_idx]) if spec.nr else z[:0]
+    soc = []
+    for g in spec.soc_groups:
+        zg = z[g.idx]
+        sg = s[g.idx]
+        qz = _qf(zg)
+        qs = _qf(sg)
+        beta = (qs / qz) ** 0.25  # (k,)
+        zb = zg / jnp.sqrt(qz)[:, None]
+        sb = sg / jnp.sqrt(qs)[:, None]
+        gam = jnp.sqrt((1.0 + _dot(zb, sb)) / 2.0)  # (k,)
+        Jzb = jnp.concatenate([zb[:, :1], -zb[:, 1:]], axis=1)
+        w = (sb + Jzb) / (2.0 * gam[:, None])
+        w = w.at[:, 0].add(1.0)
+        w = w * (jnp.sqrt(beta) / jnp.sqrt(w[:, 0]))[:, None]
+        dvec = jnp.concatenate(
+            [-beta[:, None], jnp.broadcast_to(beta[:, None], (g.count, g.dim - 1))],
+            axis=1,
+        )
+        soc.append(SocScaling(d=dvec, u=w, alpha=jnp.ones_like(beta)))
+    sdp = []
+    for g in spec.sdp_groups:
+        Z = mat(z[g.idx])  # (k, d, d)
+        Sm = mat(s[g.idx])
+        Lz = jnp.linalg.cholesky(Z)
+        Ls = jnp.linalg.cholesky(Sm)
+        U, lam, _ = jnp.linalg.svd(jnp.swapaxes(Lz, -1, -2) @ Ls)
+        # R = Lz⁻ᵀ U diag(sqrt(lam))  (nestod_sdc, ConicIP.jl:196-210)
+        X = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(Lz, -1, -2), U, lower=False
+        )
+        R = X * jnp.sqrt(lam)[..., None, :]
+        sdp.append(SdpScaling(S=R))
+    return NTScaling(r_d=r_d, soc=tuple(soc), sdp=tuple(sdp))
+
+
+def nt_identity(spec: ConeSpec, dtype=jnp.float64) -> NTScaling:
+    """Identity scaling, used for the cold-start KKT solve (ConicIP.jl:704-706)."""
+    r_d = jnp.ones((spec.nr,), dtype)
+    soc = tuple(
+        SocScaling(
+            d=jnp.ones((g.count, g.dim), dtype),
+            u=jnp.zeros((g.count, g.dim), dtype),
+            alpha=jnp.zeros((g.count,), dtype),
+        )
+        for g in spec.soc_groups
+    )
+    sdp = tuple(
+        SdpScaling(
+            S=jnp.broadcast_to(
+                jnp.eye(g.order, dtype=dtype), (g.count, g.order, g.order)
+            )
+        )
+        for g in spec.sdp_groups
+    )
+    return NTScaling(r_d=r_d, soc=soc, sdp=sdp)
+
+
+def nt_inv_adjoint(spec: ConeSpec, F: NTScaling) -> NTScaling:
+    """F⁻ᵀ with the same structure (blockwise ``inv_adjoint!``,
+    blockmatrices.jl:193-198). R and Q blocks are symmetric so F⁻ᵀ = F⁻¹
+    (Sherman-Morrison keeps diag + rank-1); S blocks map S → S⁻ᵀ."""
+    r_d = 1.0 / F.r_d
+    soc = []
+    for sc in F.soc:
+        dinv = 1.0 / sc.d
+        uh = sc.u * dinv
+        denom = 1.0 + sc.alpha * _dot(sc.u, uh)
+        soc.append(SocScaling(d=dinv, u=uh, alpha=-sc.alpha / denom))
+    sdp = []
+    for sd in F.sdp:
+        Sinv_t = jnp.swapaxes(jnp.linalg.inv(sd.S), -1, -2)
+        sdp.append(SdpScaling(S=Sinv_t))
+    return NTScaling(r_d=r_d, soc=tuple(soc), sdp=tuple(sdp))
+
+
+# ──────────────────────────────────────────────────────────────
+#  Application to vectors / matrix rows
+# ──────────────────────────────────────────────────────────────
+
+
+def _apply(spec: ConeSpec, F: NTScaling, x: jnp.ndarray, transpose_sdp: bool):
+    o = jnp.zeros_like(x)
+    if spec.nr:
+        o = o.at[spec.r_idx].set(F.r_d * x[spec.r_idx])
+    for g, sc in zip(spec.soc_groups, F.soc):
+        xg = x[g.idx]
+        val = sc.d * xg + (sc.alpha * _dot(sc.u, xg))[:, None] * sc.u
+        o = o.at[g.idx].set(val)
+    for g, sd in zip(spec.sdp_groups, F.sdp):
+        X = mat(x[g.idx])
+        S = sd.S
+        St = jnp.swapaxes(S, -1, -2)
+        Y = (S @ X @ St) if transpose_sdp else (St @ X @ S)
+        o = o.at[g.idx].set(vecm(Y))
+    return o
+
+
+def apply(spec: ConeSpec, F: NTScaling, x: jnp.ndarray) -> jnp.ndarray:
+    """F @ x."""
+    return _apply(spec, F, x, transpose_sdp=False)
+
+
+def apply_adjoint(spec: ConeSpec, F: NTScaling, x: jnp.ndarray) -> jnp.ndarray:
+    """Fᵀ @ x (differs from F @ x only on S blocks)."""
+    return _apply(spec, F, x, transpose_sdp=True)
+
+
+def _apply_mat(spec: ConeSpec, F: NTScaling, A: jnp.ndarray, transpose_sdp: bool):
+    """Apply F to every column of A, i.e. compute F @ A for A of shape (m, n).
+
+    This is how the Schur assembly builds ``Atil = F⁻ᵀ A`` in one shot:
+    row-scaling for R, batched rank-1 updates for Q, batched congruences for S
+    — replacing the reference's dense ``Matrix(inv(F))' * A``
+    (kktsolvers.jl:32-33) with structure-exploiting batched matmuls.
+    """
+    o = jnp.zeros_like(A)
+    if spec.nr:
+        o = o.at[spec.r_idx].set(F.r_d[:, None] * A[spec.r_idx])
+    for g, sc in zip(spec.soc_groups, F.soc):
+        Ag = A[g.idx]  # (k, dim, n)
+        uA = jnp.einsum("kd,kdn->kn", sc.u, Ag)
+        val = sc.d[:, :, None] * Ag + sc.alpha[:, None, None] * sc.u[:, :, None] * uA[:, None, :]
+        o = o.at[g.idx].set(val)
+    for g, sd in zip(spec.sdp_groups, F.sdp):
+        Ag = A[g.idx]  # (k, t, n)
+        X = mat(jnp.swapaxes(Ag, -1, -2))  # (k, n, d, d)
+        S = sd.S
+        if transpose_sdp:
+            Y = jnp.einsum("kab,knbc,kdc->knad", S, X, S)
+        else:
+            Y = jnp.einsum("kba,knbc,kcd->knad", S, X, S)
+        o = o.at[g.idx].set(jnp.swapaxes(vecm(Y), -1, -2))
+    return o
+
+
+def apply_mat(spec: ConeSpec, F: NTScaling, A: jnp.ndarray) -> jnp.ndarray:
+    return _apply_mat(spec, F, A, transpose_sdp=False)
+
+
+def apply_adjoint_mat(spec: ConeSpec, F: NTScaling, A: jnp.ndarray) -> jnp.ndarray:
+    return _apply_mat(spec, F, A, transpose_sdp=True)

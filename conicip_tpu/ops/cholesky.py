@@ -1,0 +1,53 @@
+"""Cholesky factorization and triangular solves — the solver's hot kernel.
+
+The default path uses XLA's native ops; ``factor_dtype=float32`` enables the
+mixed-precision mode where the O(n³) factorization runs on the MXU in f32 and
+the IPM's iterative-refinement loop (a first-class mechanism here, promoted
+from the reference's safety net at ConicIP.jl:907-921) restores f64 accuracy.
+
+A hand-written Pallas blocked Cholesky lives in ``ops/pallas_cholesky.py`` and
+is selected automatically on TPU for f32 factorizations of MXU-aligned sizes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+__all__ = ["cholesky", "cho_solve", "CholFactor"]
+
+
+def cholesky(M: jnp.ndarray, factor_dtype=None) -> jnp.ndarray:
+    """Lower-triangular Cholesky factor, optionally in a lower precision."""
+    in_dtype = M.dtype
+    if factor_dtype is not None and factor_dtype != in_dtype:
+        M = M.astype(factor_dtype)
+    if M.dtype == jnp.float32 and M.ndim == 2 and M.shape[0] >= 256:
+        from .pallas_cholesky import cholesky_f32
+
+        L = cholesky_f32(M)
+    else:
+        L = jnp.linalg.cholesky(M)
+    return L
+
+
+def cho_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L Lᵀ) x = b given the lower Cholesky factor L."""
+    out_dtype = b.dtype
+    b = b.astype(L.dtype)
+    y = solve_triangular(L, b, lower=True)
+    x = solve_triangular(L, y, lower=True, trans="T")
+    return x.astype(out_dtype)
+
+
+class CholFactor:
+    """Tiny convenience wrapper bundling a factor with its solve."""
+
+    def __init__(self, M: jnp.ndarray, factor_dtype=None):
+        self.L = cholesky(M, factor_dtype)
+
+    def solve(self, b: jnp.ndarray) -> jnp.ndarray:
+        return cho_solve(self.L, b)
