@@ -213,3 +213,33 @@ def apply_mat(spec: ConeSpec, F: NTScaling, A: jnp.ndarray) -> jnp.ndarray:
 
 def apply_adjoint_mat(spec: ConeSpec, F: NTScaling, A: jnp.ndarray) -> jnp.ndarray:
     return _apply_mat(spec, F, A, transpose_sdp=True)
+
+
+def dense(spec: ConeSpec, F: NTScaling, dtype=None) -> jnp.ndarray:
+    """Materialize F as an (m, m) block-diagonal matrix.
+
+    Only used by solvers that need the full FᵀF (e.g. the dense-LU KKT
+    solver, the analogue of the reference's sparse no-lift path,
+    kktsolvers.jl:244-267). The hot Schur path never calls this.
+    """
+    dtype = dtype or (F.r_d.dtype if F.r_d.size else jnp.float64)
+    M = jnp.zeros((spec.m, spec.m), dtype)
+    if spec.nr:
+        M = M.at[spec.r_idx, spec.r_idx].set(F.r_d)
+    for g, sc in zip(spec.soc_groups, F.soc):
+        blk = (
+            jnp.eye(g.dim, dtype=dtype) * sc.d[:, None, :]
+            + sc.alpha[:, None, None] * sc.u[:, :, None] * sc.u[:, None, :]
+        )  # (k, dim, dim)
+        M = M.at[g.idx[:, :, None], g.idx[:, None, :]].set(blk)
+    for g, sd in zip(spec.sdp_groups, F.sdp):
+        # Column j of the block is vecm(Sᵀ mat(e_j) S): build the mat(e_j)
+        # basis once (t, d, d) and batch the congruence.
+        t = g.tdim
+        basis = mat(jnp.eye(t, dtype=dtype))  # (t, d, d)
+        S = sd.S
+        Y = jnp.einsum("kba,jbc,kcd->kjad", S, basis, S)  # (k, t, d, d)
+        cols = vecm(Y)  # (k, t_in, t_out): cols[k, j] = W e_j
+        blk = jnp.swapaxes(cols, -1, -2)
+        M = M.at[g.idx[:, :, None], g.idx[:, None, :]].set(blk)
+    return M

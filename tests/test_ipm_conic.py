@@ -1,0 +1,152 @@
+"""End-to-end IPM tests on SOC and SDP cones and mixed products.
+
+Mirrors the reference's conic integration tests (test/runtests.jl:137-206,
+527-590) with analytic answers.
+"""
+
+import numpy as np
+import pytest
+
+import conicip_tpu as ct
+from conicip_tpu import vecm
+from conicip_tpu.kkt import kktsolver_lu, kktsolver_qr, kktsolver_schur
+
+import jax.numpy as jnp
+
+OPT_TOL = 1e-7
+TOL = 1e-3
+
+SOLVERS = {
+    "schur": kktsolver_schur,
+    "qr": kktsolver_qr,
+    "lu": kktsolver_lu,
+}
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_projection_onto_sphere(solver):
+    # min ½‖y−a‖² s.t. ‖y‖ ≤ 1 → y* = a/‖a‖ (test/runtests.jl:137-166)
+    n = 2
+    H = np.eye(n)
+    a = np.ones(n)
+    A = np.vstack([np.zeros((1, n)), np.eye(n)])
+    b = np.concatenate([[-1.0], np.zeros(n)])
+
+    sol = ct.conic_ip(H, H @ a, A, b, [("Q", n + 1)],
+                      kktsolver=SOLVERS[solver], optTol=OPT_TOL)
+    assert sol.status == "Optimal"
+    np.testing.assert_allclose(sol.y, a / np.linalg.norm(a), atol=TOL)
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_combined_r_and_q(solver):
+    # min ½‖y−c‖² s.t. y ≥ 0, ‖y‖ ≤ 1 → y* = max(c,0)/‖max(c,0)‖
+    # (test/runtests.jl:168-206)
+    n = 10
+    H = np.eye(n)
+    c = np.arange(1.0, n + 1)
+    A = np.vstack([np.eye(n), np.zeros((1, n)), np.eye(n)])
+    b = np.concatenate([np.zeros(n), [-1.0], np.zeros(n)])
+
+    sol = ct.conic_ip(H, H @ c, A, b, [("R", n), ("Q", n + 1)],
+                      kktsolver=SOLVERS[solver], optTol=OPT_TOL)
+    assert sol.status == "Optimal"
+    y = np.maximum(c, 0)
+    y = y / np.linalg.norm(y)
+    np.testing.assert_allclose(sol.y, y, atol=TOL)
+
+
+@pytest.mark.parametrize("solver", ["schur", "qr", "lu"])
+def test_psd_projection(solver):
+    # min ½‖Y − C‖² s.t. Y ⪰ 0 with C = diag(1,1,1,-1,-1,-1)
+    # → Y* = diag(1,1,1,0,0,0) (test/runtests.jl:527-552)
+    n = 21
+    H = np.eye(n)
+    C = np.diag([1.0, 1, 1, -1, -1, -1])
+    c = np.asarray(vecm(jnp.asarray(C)))
+    A = np.eye(n)
+    b = np.zeros(n)
+
+    sol = ct.conic_ip(H, c, A, b, [("S", n)],
+                      kktsolver=SOLVERS[solver], optTol=OPT_TOL)
+    assert sol.status == "Optimal"
+    Y = np.asarray(ct.mat(jnp.asarray(sol.y)))
+    np.testing.assert_allclose(Y, np.diag([1.0, 1, 1, 0, 0, 0]), atol=TOL)
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_soc_nonneg_mix(solver):
+    # min ½‖x‖² + 1ᵀx s.t. ‖x₁:₃‖ ≤ 1, x ≥ 0 → x* = 0
+    # (test/runtests.jl:554-590); solver minimizes −cᵀy so c = −1.
+    n = 4
+    Q = np.eye(n)
+    c_obj = -np.ones(n)
+    A_soc = np.vstack([np.zeros((1, n)), np.eye(n)[:3]])
+    b_soc = np.concatenate([[-1.0], np.zeros(3)])
+    A_nn = np.eye(n)
+    b_nn = np.zeros(n)
+    A = np.vstack([A_soc, A_nn])
+    b = np.concatenate([b_soc, b_nn])
+
+    sol = ct.conic_ip(Q, c_obj, A, b, [("Q", 4), ("R", n)],
+                      kktsolver=SOLVERS[solver], optTol=1e-6)
+    assert sol.status == "Optimal"
+    assert np.linalg.norm(sol.y) < TOL
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_mixed_r_q_s(solver, rng):
+    # Full three-cone-type mix with equalities — the configuration where
+    # the reference's sparse and pivot solvers both FAIL
+    # (profile_output.txt:54-56); ours must pass on every backend.
+    n = 6 + 10 + tri(4)  # R(6) + Q(10) + S(10): m = 26, n matches A=I
+    H = np.eye(n)
+    y0 = interior(rng, n)
+    A = np.eye(n)
+    b = np.zeros(n)
+    G = np.ones((1, n))
+    d = np.array([1.0])
+
+    c = rng.standard_normal(n) * 0.1
+    sol = ct.conic_ip(H, c, A, b, [("R", 6), ("Q", 10), ("S", tri(4))], G, d,
+                      kktsolver=SOLVERS[solver], optTol=1e-6)
+    assert sol.status == "Optimal"
+    assert max(sol.prFeas, sol.duFeas, sol.muFeas) < 1e-6
+
+
+def tri(d):
+    return d * (d + 1) // 2
+
+
+def interior(rng, n):
+    return rng.uniform(0.5, 1.5, n)
+
+
+@pytest.mark.parametrize("solver", SOLVERS)
+def test_many_small_socs(solver, rng):
+    # The reference's stress case: 250 small SOC cones (profile.jl:53-69).
+    k, dim = 50, 3
+    n = k * dim
+    H = np.eye(n)
+    c = rng.standard_normal(n)
+    A = np.eye(n)
+    b = np.zeros(n)
+    cones = [("Q", dim)] * k
+    sol = ct.conic_ip(H, c, A, b, cones, kktsolver=SOLVERS[solver], optTol=1e-6)
+    assert sol.status == "Optimal"
+    # analytic answer: per-cone projection onto the SOC under identity metric
+    for i in range(k):
+        blk = c[i * dim : (i + 1) * dim]
+        proj = soc_project(blk)
+        np.testing.assert_allclose(sol.y[i * dim : (i + 1) * dim], proj, atol=5e-3)
+
+
+def soc_project(x):
+    t, u = x[0], x[1:]
+    nu = np.linalg.norm(u)
+    if nu <= t:
+        return x
+    if nu <= -t:
+        return np.zeros_like(x)
+    a = (t + nu) / 2
+    return np.concatenate([[a], a * u / nu])
