@@ -1,0 +1,82 @@
+"""Modeling frontend tests — mirror the reference's MOI wrapper tests
+(test/runtests.jl:681-778)."""
+
+import numpy as np
+import pytest
+
+from conicip_tpu.frontend import (
+    EqualTo,
+    GreaterThan,
+    LessThan,
+    Optimizer,
+    SecondOrderCone,
+    TerminationStatus,
+)
+
+
+def test_simple_lp():
+    # min x₁ + x₂ s.t. x₁ + x₂ ≥ 1, x ≥ 0 (test/runtests.jl:684-715)
+    model = Optimizer(optTol=1e-6)
+    x = model.add_variables(2)
+    model.set_objective("min", {x[0]: 1.0, x[1]: 1.0})
+    model.add_constraint(np.ones((1, 2)), np.zeros(1), GreaterThan(1.0))
+    model.add_constraint(np.eye(2)[0:1], np.zeros(1), GreaterThan(0.0))
+    model.add_constraint(np.eye(2)[1:2], np.zeros(1), GreaterThan(0.0))
+    model.optimize()
+
+    assert model.termination_status() == TerminationStatus.OPTIMAL
+    assert model.objective_value() == pytest.approx(1.0, abs=1e-4)
+    assert model.variable_primal(x[0]) == pytest.approx(0.5, abs=1e-2)
+    assert model.variable_primal(x[1]) == pytest.approx(0.5, abs=1e-2)
+
+
+def test_soc_via_frontend():
+    # min x₃ s.t. x₁ = 1, x₂ = 1, ‖(x₁,x₂)‖ ≤ x₃ (test/runtests.jl:717-744)
+    model = Optimizer(optTol=1e-6)
+    x = model.add_variables(3)
+    model.set_objective("min", {x[2]: 1.0})
+    e = np.eye(3)
+    model.add_constraint(e[0:1], np.zeros(1), EqualTo(1.0))
+    model.add_constraint(e[1:2], np.zeros(1), EqualTo(1.0))
+    model.variables_in([x[2], x[0], x[1]], SecondOrderCone(3))
+    model.optimize()
+
+    assert model.termination_status() == TerminationStatus.OPTIMAL
+    assert model.variable_primal(x[2]) == pytest.approx(np.sqrt(2), abs=1e-4)
+    assert model.objective_value() == pytest.approx(np.sqrt(2), abs=1e-4)
+
+
+def test_max_sense():
+    # max x₁ + 2x₂ s.t. x₁ + x₂ ≤ 1, x ≥ 0 (test/runtests.jl:746-777)
+    model = Optimizer(optTol=1e-6)
+    x = model.add_variables(2)
+    model.set_objective("max", {x[0]: 1.0, x[1]: 2.0})
+    model.add_constraint(np.ones((1, 2)), np.zeros(1), LessThan(1.0))
+    model.add_constraint(np.eye(2)[0:1], np.zeros(1), GreaterThan(0.0))
+    model.add_constraint(np.eye(2)[1:2], np.zeros(1), GreaterThan(0.0))
+    model.optimize()
+
+    assert model.termination_status() == TerminationStatus.OPTIMAL
+    assert model.objective_value() == pytest.approx(2.0, abs=1e-4)
+    assert model.variable_primal(x[0]) == pytest.approx(0.0, abs=1e-2)
+    assert model.variable_primal(x[1]) == pytest.approx(1.0, abs=1e-2)
+
+
+def test_objective_constant_and_duals():
+    model = Optimizer(optTol=1e-7)
+    x = model.add_variables(2)
+    model.set_objective("min", {x[0]: 1.0, x[1]: 1.0}, constant=5.0)
+    ci = model.add_constraint(np.ones((1, 2)), np.zeros(1), GreaterThan(1.0))
+    model.add_constraint(np.eye(2)[0:1], np.zeros(1), GreaterThan(0.0))
+    model.add_constraint(np.eye(2)[1:2], np.zeros(1), GreaterThan(0.0))
+    model.optimize()
+    assert model.objective_value() == pytest.approx(6.0, abs=1e-4)
+    # dual of the binding x₁+x₂ ≥ 1 constraint is 1 (the objective gradient)
+    assert model.constraint_dual(ci)[0] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_status_before_optimize():
+    model = Optimizer()
+    assert model.termination_status() == TerminationStatus.OPTIMIZE_NOT_CALLED
+    with pytest.raises(RuntimeError):
+        model.objective_value()
