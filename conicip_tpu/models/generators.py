@@ -1,0 +1,168 @@
+"""Benchmark problem-family generators.
+
+Re-creations of the reference's eight profiling problem families
+(benchmark/profile.jl:20-131) plus batched variants for the data-parallel
+configurations in BASELINE.json. Numeric data is freshly generated (numpy
+RNG); only the problem *shapes and structure* mirror the reference.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..cones.spec import tri_dim
+
+__all__ = [
+    "Problem",
+    "box_qp_dense",
+    "box_qp_sparse",
+    "single_soc",
+    "many_small_socs",
+    "small_sdp",
+    "larger_sdp",
+    "mixed_rq_eq",
+    "mixed_rqs",
+    "batched_box_qp",
+    "ALL_GENERATORS",
+]
+
+
+@dataclass
+class Problem:
+    name: str
+    Q: np.ndarray
+    c: np.ndarray
+    A: np.ndarray
+    b: np.ndarray
+    cone_dims: List[Tuple[str, int]]
+    G: Optional[np.ndarray] = None
+    d: Optional[np.ndarray] = None
+
+    def args(self):
+        return (self.Q, self.c, self.A, self.b, self.cone_dims, self.G, self.d)
+
+
+def _vecm_identity(k: int) -> np.ndarray:
+    x = np.zeros(tri_dim(k))
+    pos = 0
+    for i in range(k):
+        x[pos] = 1.0
+        pos += k - i
+    return x
+
+
+def box_qp_dense(n: int = 500, seed: int = 42) -> Problem:
+    rng = np.random.default_rng(seed)
+    M = rng.standard_normal((n, n))
+    Q = M.T @ M / n
+    c = rng.standard_normal(n)
+    A = np.vstack([np.eye(n), -np.eye(n)])
+    b = -np.ones(2 * n)
+    return Problem(f"box_qp_dense(n={n})", Q, c, A, b, [("R", 2 * n)])
+
+
+def box_qp_sparse(n: int = 1000, seed: int = 42) -> Problem:
+    # "sparse" in the reference = diagonal Q (spdiagm, profile.jl:33);
+    # the TPU path is dense either way.
+    rng = np.random.default_rng(seed)
+    Q = np.diag(1.0 + rng.random(n))
+    c = rng.standard_normal(n)
+    A = np.vstack([np.eye(n), -np.eye(n)])
+    b = -np.ones(2 * n)
+    return Problem(f"box_qp_sparse(n={n})", Q, c, A, b, [("R", 2 * n)])
+
+
+def single_soc(n: int = 500, seed: int = 42) -> Problem:
+    rng = np.random.default_rng(seed)
+    Q = np.eye(n)
+    c = rng.standard_normal(n)
+    A = np.vstack([np.zeros((1, n)), np.eye(n)])
+    b = np.concatenate([[-1.0], np.zeros(n)])
+    return Problem(f"single_soc(n={n})", Q, c, A, b, [("Q", n + 1)])
+
+
+def many_small_socs(n: int = 500, k: int = 250, seed: int = 42) -> Problem:
+    rng = np.random.default_rng(seed)
+    m = 3 * k
+    Q = np.eye(n)
+    c = rng.standard_normal(n)
+    A = (rng.random((m, n)) < 0.1) * rng.standard_normal((m, n))
+    b = np.zeros(m)
+    b[0::3] = -1.0
+    return Problem(
+        f"many_small_socs(k={k},n={n})", Q, c, A, b, [("Q", 3)] * k
+    )
+
+
+def small_sdp(k: int = 10, seed: int = 42) -> Problem:
+    n = tri_dim(k)
+    Q = np.eye(n)
+    c = _vecm_identity(k)
+    A = np.eye(n)
+    b = np.zeros(n)
+    return Problem(f"small_sdp(k={k})", Q, c, A, b, [("S", n)])
+
+
+def larger_sdp(k: int = 30, seed: int = 42) -> Problem:
+    return small_sdp(k=k, seed=seed)
+
+
+def mixed_rq_eq(n: int = 200, seed: int = 42) -> Problem:
+    rng = np.random.default_rng(seed)
+    n_q = 51
+    Q = np.eye(n)
+    c = rng.standard_normal(n)
+    A_r = np.eye(n)
+    A_q = (rng.random((n_q, n)) < 0.2) * rng.standard_normal((n_q, n))
+    A_q[0, :] = 0.0
+    A = np.vstack([A_r, A_q])
+    b = np.concatenate([np.zeros(n), [-1.0], np.zeros(n_q - 1)])
+    p = 10
+    G = rng.standard_normal((p, n))
+    d = G @ np.ones(n)
+    return Problem(
+        f"mixed_rq_eq(n={n},p={p})", Q, c, A, b, [("R", n), ("Q", n_q)], G, d
+    )
+
+
+def mixed_rqs(seed: int = 42) -> Problem:
+    n_r, n_q, k_s = 50, 21, 5
+    n_s = tri_dim(k_s)
+    n = n_r + n_q + n_s  # 86
+    rng = np.random.default_rng(seed)
+    Q = np.eye(n)
+    c = rng.standard_normal(n)
+    A = np.eye(n)
+    b = np.concatenate([np.zeros(n_r), [-1.0], np.zeros(n_q - 1), np.zeros(n_s)])
+    return Problem(
+        f"mixed_rqs(n={n})", Q, c, A, b,
+        [("R", n_r), ("Q", n_q), ("S", n_s)],
+    )
+
+
+def batched_box_qp(batch: int, n: int = 100, seed: int = 0):
+    """Stacked independent box QPs for the data-parallel configuration
+    (BASELINE.json configs[4]). Returns stacked (Q, c, A, b) with a leading
+    batch axis and the shared cone_dims."""
+    rng = np.random.default_rng(seed)
+    Ms = rng.standard_normal((batch, n, n))
+    Q = np.einsum("bij,bik->bjk", Ms, Ms) / n + np.eye(n)
+    c = rng.standard_normal((batch, n))
+    A = np.broadcast_to(np.vstack([np.eye(n), -np.eye(n)]), (batch, 2 * n, n)).copy()
+    b = np.broadcast_to(-np.ones(2 * n), (batch, 2 * n)).copy()
+    return Q, c, A, b, [("R", 2 * n)]
+
+
+ALL_GENERATORS = [
+    box_qp_dense,
+    box_qp_sparse,
+    single_soc,
+    many_small_socs,
+    small_sdp,
+    larger_sdp,
+    mixed_rq_eq,
+    mixed_rqs,
+]

@@ -25,7 +25,10 @@ def cholesky(M: jnp.ndarray, factor_dtype=None) -> jnp.ndarray:
     in_dtype = M.dtype
     if factor_dtype is not None and factor_dtype != in_dtype:
         M = M.astype(factor_dtype)
-    if M.dtype == jnp.float32 and M.ndim == 2 and M.shape[0] >= 256:
+    import os
+
+    use_pallas = os.environ.get("CONICIP_TPU_PALLAS_CHOLESKY", "0") == "1"
+    if use_pallas and M.dtype == jnp.float32 and M.ndim == 2 and M.shape[0] >= 256:
         from .pallas_cholesky import cholesky_f32
 
         L = cholesky_f32(M)

@@ -1,0 +1,124 @@
+"""Batched problem solving — data parallelism over problem instances.
+
+The reference solves one problem per call (ConicIP.jl:468); batching is the
+TPU framework's first free parallelism axis (SURVEY.md §2.3): the IPM core is
+mask-based and therefore ``vmap``-safe — converged instances freeze their
+iterates while the loop keeps stepping the rest — so a stack of problems is
+one ``vmap`` + one jit, and sharding the batch axis over a device mesh makes
+it multi-chip/multi-host data parallelism with zero cross-instance
+communication.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..cones.spec import ConeSpec
+from ..solver.ipm import IPMOptions, ipm_solve
+from ..solver.state import STATUS_NAMES, SolState
+
+__all__ = ["solve_batch", "BatchSolution", "make_batched_solver"]
+
+
+@dataclass
+class BatchSolution:
+    """Stacked solutions with numpy storage."""
+
+    y: np.ndarray
+    w: np.ndarray
+    v: np.ndarray
+    status: np.ndarray  # int codes
+    Iter: np.ndarray
+    Mu: np.ndarray
+    prFeas: np.ndarray
+    duFeas: np.ndarray
+    muFeas: np.ndarray
+    pobj: np.ndarray
+    dobj: np.ndarray
+
+    @property
+    def statuses(self) -> List[str]:
+        return [STATUS_NAMES[int(s)] for s in self.status]
+
+    @classmethod
+    def from_state(cls, st: SolState) -> "BatchSolution":
+        return cls(**{k: np.asarray(getattr(st, k)) for k in cls.__dataclass_fields__
+                      if k != "statuses"})
+
+
+@functools.lru_cache(maxsize=None)
+def make_batched_solver(spec: ConeSpec, kktsolver, opts: IPMOptions,
+                        batch_G: bool = True):
+    """jitted vmapped solver for a fixed (spec, kktsolver, opts)."""
+    g_axis = 0 if batch_G else None
+
+    def core(Q, c, A, b, G, d):
+        return ipm_solve(Q, c, A, b, G, d, spec, kktsolver, opts)
+
+    return jax.jit(jax.vmap(core, in_axes=(0, 0, 0, 0, g_axis, g_axis)))
+
+
+def solve_batch(
+    Q,
+    c,
+    A,
+    b,
+    cone_dims: Sequence[Tuple[str, int]],
+    G=None,
+    d=None,
+    *,
+    mesh: Optional[Mesh] = None,
+    batch_axis: str = "batch",
+    kktsolver=None,
+    factor_dtype=None,
+    dtype=None,
+    **options,
+) -> BatchSolution:
+    """Solve a stack of independent conic QPs (leading batch axis on
+    Q, c, A, b and optionally G, d).
+
+    With ``mesh``, the batch axis is sharded over ``mesh[batch_axis]`` —
+    per-problem work stays local to one device; XLA inserts no collectives.
+    """
+    dtype = dtype or jnp.float64
+    Q = jnp.asarray(Q, dtype)
+    c = jnp.asarray(c, dtype)
+    A = jnp.asarray(A, dtype)
+    b = jnp.asarray(b, dtype)
+    batch = c.shape[0]
+    n = c.shape[-1]
+    if G is None:
+        G = jnp.zeros((batch, 0, n), dtype)
+        d = jnp.zeros((batch, 0), dtype)
+    else:
+        G = jnp.asarray(G, dtype)
+        d = jnp.asarray(d, dtype)
+        if G.ndim == 2:  # shared equality system
+            G = jnp.broadcast_to(G, (batch,) + G.shape)
+            d = jnp.broadcast_to(d, (batch,) + d.shape)
+
+    spec = ConeSpec(cone_dims)
+    if kktsolver is None:
+        from ..solver import _default_kktsolver
+
+        kktsolver = _default_kktsolver(factor_dtype)
+    opts = IPMOptions(**options)
+    if opts.verbose:
+        raise ValueError("verbose output is not supported in batched mode")
+
+    solver = make_batched_solver(spec, kktsolver, opts)
+
+    if mesh is not None:
+        shard = NamedSharding(mesh, P(batch_axis))
+        put = lambda x: jax.device_put(x, shard)  # noqa: E731
+        Q, c, A, b, G, d = map(put, (Q, c, A, b, G, d))
+
+    st = jax.block_until_ready(solver(Q, c, A, b, G, d))
+    return BatchSolution.from_state(st)
