@@ -32,28 +32,54 @@ __all__ = ["kktsolver_2x2", "kktsolver_schur"]
 
 
 def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
-    """Dense-Cholesky 2x2 solver for ``[[Q + Aᵀ(FᵀF)⁻¹A, Gᵀ], [G, 0]]``."""
+    """Dense-Cholesky 2x2 solver for ``[[M, Gᵀ], [G, 0]]`` with
+    ``M = Q + Aᵀ(FᵀF)⁻¹A``.
+
+    With equalities present, ``M`` alone can be singular (e.g. Q = 0 and
+    fewer cone rows than variables — the reference's sparse saddle LU
+    tolerates this, a plain Schur-on-M does not). We factor the *augmented*
+    matrix ``M̃ = M + γ GᵀG`` instead, which is SPD exactly when
+    ``[Q; A; G]`` has full column rank — the condition the preprocessor
+    guarantees (preprocessor.jl:31-38). The saddle solution is recovered
+    exactly (no regularization error):
+
+        M̃ a + Gᵀ b = r₁ + γ Gᵀ r₂,   G a = r₂
+        →  a = t − E b̂,  S̃ b̂ = G t − r₂
+        with t = M̃⁻¹(r₁ + γ Gᵀ r₂),  E = M̃⁻¹Gᵀ,  S̃ = G E  (SPD).
+
+    γ balances the two terms' scales for conditioning.
+    """
     n = Q.shape[0]
     p = G.shape[0]
 
     def solve2x2gen(F, FinvT):
         Atil = sc.apply_mat(spec, FinvT, A)  # F⁻ᵀ A, structure-exploiting
         M = Q + Atil.T @ Atil
-        L = cholesky(M, factor_dtype)
+        if p:
+            gamma = (jnp.trace(M) / n) / (
+                jnp.sum(G * G) / p + jnp.finfo(M.dtype).tiny
+            )
+            gamma = jnp.where(jnp.isfinite(gamma) & (gamma > 0), gamma, 1.0)
+            Maug = M + gamma * (G.T @ G)
+        else:
+            gamma = None
+            Maug = M
+        L = cholesky(Maug, factor_dtype)
         if p:
             E = _tri_solve(L, G.T)  # L⁻¹ Gᵀ  (n, p) in factor dtype
-            S = E.T @ E  # G M⁻¹ Gᵀ
+            S = E.T @ E  # G M̃⁻¹ Gᵀ  (SPD)
             Ls = jnp.linalg.cholesky(S)
 
         def solve2x2(by, bw):
-            t = cho_solve(L, by)
             if p:
+                t = cho_solve(L, by + gamma * (G.T @ bw))
                 rhs = (G @ t - bw).astype(Ls.dtype)
                 b2 = solve_triangular(Ls, rhs, lower=True)
                 b2 = solve_triangular(Ls, b2, lower=True, trans="T")
-                a = t - cho_solve(L, G.T @ b2.astype(t.dtype))
-                return a, b2.astype(t.dtype)
-            return t, by[:0]
+                b2 = b2.astype(t.dtype)
+                a = t - cho_solve(L, G.T @ b2)
+                return a, b2
+            return cho_solve(L, by), by[:0]
 
         return solve2x2
 
