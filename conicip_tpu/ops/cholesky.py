@@ -27,14 +27,26 @@ def cholesky(M: jnp.ndarray, factor_dtype=None) -> jnp.ndarray:
         M = M.astype(factor_dtype)
     import os
 
-    use_pallas = os.environ.get("CONICIP_TPU_PALLAS_CHOLESKY", "0") == "1"
-    if use_pallas and M.dtype == jnp.float32 and M.ndim == 2 and M.shape[0] >= 256:
+    use_pallas = os.environ.get("CONICIP_TPU_PALLAS_CHOLESKY", "1") == "1"
+    if use_pallas and M.dtype == jnp.float32 and M.ndim == 2 and M.shape[0] >= 128:
+        from .pallas_cholesky import _BLOCK, _MAX_VMEM_N, pallas_cholesky_available
+
+        n = M.shape[0]
+        pad = (-n) % _BLOCK
+        if pad and n + pad <= _MAX_VMEM_N and pallas_cholesky_available(
+            n + pad, M.dtype
+        ):
+            # pad with an identity block: chol([[M,0],[0,I]]) = [[L,0],[0,I]]
+            Mp = jnp.zeros((n + pad, n + pad), M.dtype)
+            Mp = Mp.at[:n, :n].set(M)
+            Mp = Mp.at[jnp.arange(n, n + pad), jnp.arange(n, n + pad)].set(1.0)
+            from .pallas_cholesky import cholesky_f32
+
+            return cholesky_f32(Mp)[:n, :n]
         from .pallas_cholesky import cholesky_f32
 
-        L = cholesky_f32(M)
-    else:
-        L = jnp.linalg.cholesky(M)
-    return L
+        return cholesky_f32(M)
+    return jnp.linalg.cholesky(M)
 
 
 def cho_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -1,11 +1,26 @@
-"""Blocked right-looking Cholesky as a Pallas TPU kernel (float32).
+"""Blocked Cholesky as a Pallas TPU kernel (float32).
 
-Replaces LAPACK ``potrf`` (the reference's per-iteration workhorse inside the
-KKT refactorization, kktsolvers.jl / report.md:92) with an on-chip kernel:
-the matrix lives in VMEM, panels of size B are factored with a small
-column-loop on the VPU, and each trailing update ``A₂₂ -= L₂₁ L₂₁ᵀ`` is one
-MXU matmul. For sizes that don't fit VMEM or off-TPU backends we fall back to
-XLA's native cholesky.
+Replaces LAPACK ``potrf`` — the reference's per-iteration KKT workhorse
+(~72% of its profile, benchmark/report.md:92) — with a VMEM-resident kernel:
+
+- the whole SPD matrix lives in VMEM (n ≤ ~1400 f32),
+- each 128-wide panel is factored by a column sweep carried as a value,
+- the panel's sub-diagonal block solve is a 128-step forward substitution
+  done *full-height* (one (n,128)×(128,) contraction per step),
+- the trailing update ``A₂₂ -= L₂₁L₂₁ᵀ`` is ONE full-size MXU matmul with
+  row masking (trades ≤2x FLOPs for zero data movement and no dynamic
+  shapes — on the MXU this is cheaper than orchestrating block tiles).
+
+TPU lowering constraints shaped this kernel (learned the hard way):
+- dynamic lane-dimension offsets must be 128-aligned → all per-column /
+  per-row access is done via ONE-HOT contractions and masks, never
+  ``x[:, j]`` with a traced j,
+- panel window offsets carry a ``pl.multiple_of(·, 128)`` hint,
+- everything stays int32/float32 — int64→f32 casts (from x64 mode
+  leaking in) send Mosaic's convert-lowering into infinite recursion.
+
+Off-TPU, for unaligned sizes, or for matrices too big for VMEM we fall back
+to XLA's native cholesky.
 """
 
 from __future__ import annotations
@@ -15,109 +30,103 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cholesky_f32"]
+__all__ = ["cholesky_f32", "pallas_cholesky_available"]
 
 _BLOCK = 128
-# Whole-matrix-in-VMEM strategy: n x n f32 plus scratch must fit in ~16 MB.
-_MAX_VMEM_N = 1536
+_MAX_VMEM_N = 1408  # n*n*4B*2 buffers + scratch must fit ~16MB VMEM
 
 
-def _cholesky_kernel(a_ref, out_ref, n_blocks: int):
-    import jax.experimental.pallas as pl  # noqa: F401  (kept local: TPU-only)
+def _kernel(a_ref, out_ref, *, n: int, n_blocks: int):
+    import jax.experimental.pallas as pl
 
+    f32 = jnp.float32
     B = _BLOCK
+    # Mosaic layout rules dislike (1,B)/(B,) intermediates, so everything
+    # below is strictly 2D: one-hot "columns" are masked (B,B)/(n,B)
+    # matrices and outer products are MXU matmuls.
+    rows_n2 = jax.lax.broadcasted_iota(jnp.int32, (n, B), 0)  # (n,B)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+    icn = jax.lax.broadcasted_iota(jnp.int32, (n, B), 1)
 
-    def panel_factor(Ablk):
-        """Unblocked Cholesky of a B x B tile via column sweeps on the VPU."""
-
-        def col_body(j, A):
-            # A[j, j] -> sqrt; column j below diag /= sqrt; trailing update.
-            col = A[:, j]
-            diag = jnp.sqrt(A[j, j])
-            rows = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
-            colj = jnp.where(rows > j, col / diag, 0.0)
-            colj = colj.at[j].set(diag)
-            A = A.at[:, j].set(colj)
-            # rank-1 trailing update on the subdiagonal block
-            mask = (rows[:, None] > j) & (rows[None, :] > j)
-            upd = colj[:, None] * colj[None, :]
-            A = A - jnp.where(mask, upd, 0.0)
-            return A
-
-        return jax.lax.fori_loop(0, B, col_body, Ablk)
-
-    out_ref[:] = a_ref[:]
+    out_ref[...] = a_ref[...]
 
     def step(k, _):
-        import jax.experimental.pallas as pl
+        kB = pl.multiple_of(k * B, B)
+        D = out_ref[pl.ds(kB, B), pl.ds(kB, B)]  # (B,B) diagonal block
 
-        kB = k * B
-        Akk = out_ref[pl.ds(kB, B), pl.ds(kB, B)]
-        Lkk = panel_factor(Akk)
-        out_ref[pl.ds(kB, B), pl.ds(kB, B)] = Lkk
+        # ── 1. unblocked Cholesky of D, masked-column sweep ──
+        def col(j, A):
+            colmask = (ic == j).astype(f32)  # (B,B), col j ones
+            diagj = ((ir == j) & (ic == j)).astype(f32)
+            ajj = jnp.sum(A * diagj)
+            sq = jnp.sqrt(ajj)
+            below = (ir > j).astype(f32)
+            # CJ: zero except column j = the new Cholesky column c_j
+            CJ = A * colmask * (1.0 / sq) * below + sq * diagj
+            outer = jnp.dot(CJ, CJ.T, preferred_element_type=f32,
+                            precision=jax.lax.Precision.HIGHEST)  # c_j c_jᵀ
+            A = A - outer * (below * (ic > j).astype(f32))
+            return A * (1.0 - colmask) + CJ
 
-        # L21 = A21 * Lkk^{-T}: solve via explicit small triangular inverse.
-        # Invert the B x B lower-triangular Lkk with a column loop.
-        def inv_body(j, Minv):
-            ej = jnp.zeros((B,), jnp.float32).at[j].set(1.0)
+        Lkk = jax.lax.fori_loop(jnp.int32(0), jnp.int32(B), col, D, unroll=False)
 
-            def fwd(i, x):
-                rows = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)[:, 0]
-                xi = (ej[i] - jnp.sum(Lkk[i, :] * jnp.where(rows < i, x, 0.0))) / Lkk[i, i]
-                return x.at[i].set(xi)
+        # ── 2. full-height panel solve X = C · Lkk⁻ᵀ (forward subst).
+        #       Column j update: x_j = (C_j − X_{<j} Lkk[j,<j]ᵀ)/Lkk[j,j],
+        #       expressed as one (n,B)x(B,B) MXU matmul against a matrix
+        #       whose only nonzero column j is (e_j − masked Lkk row j).
+        C = out_ref[:, pl.ds(kB, B)]  # (n, B)
 
-            col = jax.lax.fori_loop(0, B, fwd, jnp.zeros((B,), jnp.float32))
-            return Minv.at[:, j].set(col)
+        def sub(j, X):
+            colmaskB = (ic == j).astype(f32)
+            colmaskN = (icn == j).astype(f32)
+            diagj = ((ir == j) & (ic == j)).astype(f32)
+            ljj = jnp.sum(Lkk * diagj)
+            # column j of W = e_j − Lkk[j,:i<j]ᵀ   (as a (B,B) matrix)
+            W = diagj - (Lkk.T * colmaskB) * (ir < j).astype(f32)
+            Xupd = jnp.dot(X, W, preferred_element_type=f32,
+                           precision=jax.lax.Precision.HIGHEST)  # col j = C_j − Σ
+            return X * (1.0 - colmaskN) + Xupd * (1.0 / ljj) * colmaskN
 
-        Linv = jax.lax.fori_loop(0, B, inv_body, jnp.zeros((B, B), jnp.float32))
+        X = jax.lax.fori_loop(jnp.int32(0), jnp.int32(B), sub, C, unroll=False)
+        X = X * (rows_n2 >= kB).astype(f32)
+        out_ref[:, pl.ds(kB, B)] = X
 
-        rem_blocks = n_blocks - k - 1
+        # ── 3. trailing update: one masked MXU matmul (touches only
+        #       rows/cols ≥ kB+B by construction) ──
+        Xlow = X * (rows_n2 >= kB + B).astype(f32)
+        out_ref[...] = out_ref[...] - jnp.dot(
+            Xlow, Xlow.T, preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jnp.int32(0)
 
-        def trailing(i, _):
-            import jax.experimental.pallas as pl
+    jax.lax.fori_loop(jnp.int32(0), jnp.int32(n_blocks), step, jnp.int32(0),
+                      unroll=False)
 
-            rB = kB + B + i * B
-            A21 = out_ref[pl.ds(rB, B), pl.ds(kB, B)]
-            L21 = jnp.dot(A21, Linv.T, preferred_element_type=jnp.float32)
-            out_ref[pl.ds(rB, B), pl.ds(kB, B)] = L21
-
-            def inner(jj, _):
-                cB = kB + B + jj * B
-                A2 = out_ref[pl.ds(rB, B), pl.ds(cB, B)]
-                Lc = out_ref[pl.ds(cB, B), pl.ds(kB, B)]
-                out_ref[pl.ds(rB, B), pl.ds(cB, B)] = A2 - jnp.dot(
-                    L21, Lc.T, preferred_element_type=jnp.float32
-                )
-                return 0
-
-            # only columns <= current row block (lower triangle)
-            jax.lax.fori_loop(0, i + 1, inner, 0)
-            return 0
-
-        jax.lax.fori_loop(0, rem_blocks, trailing, 0)
-        return 0
-
-    jax.lax.fori_loop(0, n_blocks, step, 0)
-
-    # zero out the strict upper triangle
-    rows = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, out_ref.shape, 1)
-    out_ref[:] = jnp.where(rows >= cols, out_ref[:], 0.0)
+    # zero the strict upper triangle
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    out_ref[...] = out_ref[...] * (r >= c).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnums=())
+@jax.jit
 def _cholesky_pallas(M: jnp.ndarray) -> jnp.ndarray:
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = M.shape[0]
-    n_blocks = n // _BLOCK
-    kernel = functools.partial(_cholesky_kernel, n_blocks=n_blocks)
+    kernel = functools.partial(_kernel, n=n, n_blocks=n // _BLOCK)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=int(n**3 / 3 + 2 * n * n * _BLOCK * (n // _BLOCK)),
+            bytes_accessed=int(2 * n * n * 4),
+            transcendentals=n,
+        ),
     )(M)
 
 
@@ -128,8 +137,17 @@ def _on_tpu() -> bool:
         return False
 
 
+def pallas_cholesky_available(n: int, dtype) -> bool:
+    return (
+        _on_tpu()
+        and dtype == jnp.float32
+        and n % _BLOCK == 0
+        and _BLOCK <= n <= _MAX_VMEM_N
+    )
+
+
 def cholesky_f32(M: jnp.ndarray) -> jnp.ndarray:
     n = M.shape[0]
-    if _on_tpu() and n % _BLOCK == 0 and n <= _MAX_VMEM_N:
+    if M.ndim == 2 and pallas_cholesky_available(n, M.dtype):
         return _cholesky_pallas(M)
     return jnp.linalg.cholesky(M)
