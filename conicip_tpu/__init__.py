@@ -40,6 +40,13 @@ from .cones import (  # noqa: E402
 
 __version__ = "0.1.0"
 
+
+def Id(n: int):
+    """n-by-n identity (reference ``Id``, ConicIP.jl:14-18)."""
+    import jax.numpy as jnp
+
+    return jnp.eye(int(n))
+
 __all__ = [
     "ConeSpec",
     "mat",
@@ -77,4 +84,8 @@ def __getattr__(name):
         from .frontend import Optimizer
 
         return Optimizer
+    if name in ("solve_batch", "BatchSolution", "kktsolver_schur_tp", "make_mesh"):
+        from . import parallel
+
+        return getattr(parallel, name)
     raise AttributeError(f"module 'conicip_tpu' has no attribute {name!r}")

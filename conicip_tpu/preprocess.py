@@ -52,9 +52,17 @@ def imcols(A, b, eps: float = 1e-8) -> Tuple[np.ndarray, bool]:
     A = A / nA
     b = b / nA
 
-    _, Rm, piv = _pivoted_qr(A.T, mode="economic", pivoting=True)
-    n_r = min(Rm.shape)
-    diag_R = np.abs(np.diag(Rm)[:n_r])
+    # Rank detection: native C++ column-pivoted QR (native/pivoted_qr.cpp,
+    # the SPQR analogue) with a scipy fallback.
+    from . import native
+
+    res = native.pivoted_qr_rank(A.T)
+    if res is not None:
+        diag_R, piv = res
+    else:
+        _, Rm, piv = _pivoted_qr(A.T, mode="economic", pivoting=True)
+        n_r = min(Rm.shape)
+        diag_R = np.abs(np.diag(Rm)[:n_r])
     keep = piv[np.nonzero(diag_R > eps)[0]]
     R = np.sort(keep)
 
