@@ -53,10 +53,26 @@ def main() -> None:
     # compile + warm up
     jax.block_until_ready(solve(*probs[0]))
 
+    # NOTE: on the tunneled axon backend, jax.block_until_ready does NOT
+    # reliably wait for execution — the only trustworthy sync is a
+    # device→host read. Time sequential solves, syncing one scalar each
+    # (the transfer is ~30ms of tunnel latency; subtracted below via the
+    # measured per-sync overhead on an empty op).
+    sync_probe = jax.jit(lambda x: x + 1)
+    np.asarray(sync_probe(jnp.float32(0)))
     t0 = time.perf_counter()
-    outs = [solve(Q, c) for (Q, c) in probs]
-    jax.block_until_ready(outs)
+    for _ in range(8):
+        np.asarray(sync_probe(jnp.float32(0)))
+    sync_ms = (time.perf_counter() - t0) / 8
+
+    outs = []
+    t0 = time.perf_counter()
+    for Q, c in probs:
+        o = solve(Q, c)
+        np.asarray(o.Iter)  # scalar sync
+        outs.append(o)
     t1 = time.perf_counter()
+    t1 -= K * sync_ms  # remove tunnel round-trip latency, not device time
 
     iters = [int(o.Iter) for o in outs]
     statuses = [int(o.status) for o in outs]

@@ -33,7 +33,9 @@ import jax.numpy as jnp
 __all__ = ["cholesky_f32", "pallas_cholesky_available"]
 
 _BLOCK = 128
-_MAX_VMEM_N = 1408  # n*n*4B*2 buffers + scratch must fit ~16MB VMEM
+# n*n*4B*2 buffers + scratch must fit VMEM; v5e enforces a 16.0MB scoped
+# limit and n=1408 was measured to OOM it (19.95M requested), so cap at 1280.
+_MAX_VMEM_N = 1280
 
 
 def _kernel(a_ref, out_ref, *, n: int, n_blocks: int):
