@@ -33,7 +33,7 @@ def main() -> None:
     n = 1000
     K = 16
     spec = ConeSpec([("R", 2 * n)])
-    opts = IPMOptions(optTol=1e-6)
+    opts = IPMOptions(optTol=1e-6, mixedResiduals=True)
     kkt = _default_kktsolver(jnp.float32)
 
     rng = np.random.default_rng(0)

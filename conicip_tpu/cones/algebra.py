@@ -24,6 +24,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .segment import put_group, put_r, take_group, take_r
 from .spec import ConeSpec
 from .symm import mat, vecm
 
@@ -48,18 +49,18 @@ def _dot(a, b):
 def cone_prod(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     o = jnp.zeros_like(x)
     if spec.nr:
-        o = o.at[spec.r_idx].set(x[spec.r_idx] * y[spec.r_idx])
+        o = put_r(spec, o, take_r(spec, x) * take_r(spec, y))
     for g in spec.soc_groups:
-        xg = x[g.idx]  # (k, dim)
-        yg = y[g.idx]
+        xg = take_group(g, x)  # (k, dim)
+        yg = take_group(g, y)
         head = _dot(xg, yg)  # (k,)
         tail = xg[:, :1] * yg[:, 1:] + yg[:, :1] * xg[:, 1:]
-        o = o.at[g.idx].set(jnp.concatenate([head[:, None], tail], axis=1))
+        o = put_group(g, o, jnp.concatenate([head[:, None], tail], axis=1))
     for g in spec.sdp_groups:
-        X = mat(x[g.idx])  # (k, d, d)
-        Y = mat(y[g.idx])
+        X = mat(take_group(g, x))  # (k, d, d)
+        Y = mat(take_group(g, y))
         P = X @ Y + Y @ X  # symmetrized product (xsdc!, ConicIP.jl:355-360)
-        o = o.at[g.idx].set(vecm(P))
+        o = put_group(g, o, vecm(P))
     return o
 
 
@@ -85,12 +86,12 @@ def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
 def cone_div(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     o = jnp.zeros_like(x)
     if spec.nr:
-        o = o.at[spec.r_idx].set(x[spec.r_idx] / y[spec.r_idx])
+        o = put_r(spec, o, take_r(spec, x) / take_r(spec, y))
     for g in spec.soc_groups:
         # Arrow-matrix inverse applied to x, arrow built from y
         # (closed form, dsoc! ConicIP.jl:317-338).
-        xg = x[g.idx]
-        yg = y[g.idx]
+        xg = take_group(g, x)
+        yg = take_group(g, y)
         y1 = yg[:, :1]
         yb = yg[:, 1:]
         x1 = xg[:, :1]
@@ -101,11 +102,11 @@ def cone_div(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
         beta1 = (-x1 / alpha) + ybxb / (y1 * alpha)
         beta2 = 1.0 / y1
         tail = yb * beta1 + xb * beta2
-        o = o.at[g.idx].set(jnp.concatenate([head, tail], axis=1))
+        o = put_group(g, o, jnp.concatenate([head, tail], axis=1))
     for g in spec.sdp_groups:
-        X = mat(x[g.idx])
-        Y = mat(y[g.idx])
-        o = o.at[g.idx].set(vecm(lyap_solve(Y, X)))
+        X = mat(take_group(g, x))
+        Y = mat(take_group(g, y))
+        o = put_group(g, o, vecm(lyap_solve(Y, X)))
     return o
 
 
@@ -123,11 +124,11 @@ def maxstep(spec: ConeSpec, x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     inf = jnp.asarray(jnp.inf, x.dtype)
     steps = [inf]
     if spec.nr:
-        xr, dr = x[spec.r_idx], d[spec.r_idx]
+        xr, dr = take_r(spec, x), take_r(spec, d)
         steps.append(jnp.min(jnp.where(dr > 0, xr / dr, inf)))
     for g in spec.soc_groups:
-        xg = x[g.idx]
-        dn = -d[g.idx]
+        xg = take_group(g, x)
+        dn = -take_group(g, d)
         gam = _qf(xg)  # (k,)
         sg = jnp.sqrt(gam)
         xbar = xg / sg[:, None]
@@ -138,8 +139,8 @@ def maxstep(spec: ConeSpec, x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
         a = jnp.linalg.norm(rho2, axis=-1) / sg - rho1
         steps.append(jnp.min(jnp.where(a < 0, inf, 1.0 / a)))
     for g in spec.sdp_groups:
-        X = mat(x[g.idx])
-        D = mat(d[g.idx])
+        X = mat(take_group(g, x))
+        D = mat(take_group(g, d))
         wX, U = jnp.linalg.eigh(X)
         pd = jnp.all(wX > 0, axis=-1)  # (k,)
         w_safe = jnp.maximum(wX, jnp.finfo(x.dtype).tiny)
@@ -162,15 +163,15 @@ def maxstep_to_cone(spec: ConeSpec, x: jnp.ndarray) -> jnp.ndarray:
     zero = jnp.asarray(0.0, x.dtype)
     steps = [zero]
     if spec.nr:
-        xr = x[spec.r_idx]
+        xr = take_r(spec, x)
         mn = jnp.min(xr)
         steps.append(jnp.where(mn > 0, 0.0, -1.0 + mn))
     for g in spec.soc_groups:
-        xg = x[g.idx]
+        xg = take_group(g, x)
         a = jnp.linalg.norm(xg[:, 1:], axis=-1) - xg[:, 0]
         steps.append(jnp.min(jnp.where(a < 0, 0.0, -1.0 - a)))
     for g in spec.sdp_groups:
-        X = mat(x[g.idx])
+        X = mat(take_group(g, x))
         mn = jnp.min(jnp.linalg.eigvalsh(X), axis=-1)
         steps.append(jnp.min(jnp.where(mn > 0, 0.0, -1.0 + mn)))
     return jnp.min(jnp.stack(steps))

@@ -24,6 +24,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from .segment import (put_group, put_r, put_rows_group, put_rows_r,
+                      take_group, take_r, take_rows_group, take_rows_r)
 from .spec import ConeSpec
 from .symm import mat, vecm
 
@@ -36,6 +38,7 @@ __all__ = [
     "apply_adjoint",
     "apply_mat",
     "apply_adjoint_mat",
+    "cast",
 ]
 
 
@@ -71,11 +74,11 @@ def _qf(x):
 
 def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray) -> NTScaling:
     """NT scaling F with ``F z = F⁻ᵀ s = λ`` (ConicIP.jl:589-605)."""
-    r_d = jnp.sqrt(s[spec.r_idx] / z[spec.r_idx]) if spec.nr else z[:0]
+    r_d = jnp.sqrt(take_r(spec, s) / take_r(spec, z)) if spec.nr else z[:0]
     soc = []
     for g in spec.soc_groups:
-        zg = z[g.idx]
-        sg = s[g.idx]
+        zg = take_group(g, z)
+        sg = take_group(g, s)
         qz = _qf(zg)
         qs = _qf(sg)
         beta = (qs / qz) ** 0.25  # (k,)
@@ -93,8 +96,8 @@ def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray) -> NTScaling:
         soc.append(SocScaling(d=dvec, u=w, alpha=jnp.ones_like(beta)))
     sdp = []
     for g in spec.sdp_groups:
-        Z = mat(z[g.idx])  # (k, d, d)
-        Sm = mat(s[g.idx])
+        Z = mat(take_group(g, z))  # (k, d, d)
+        Sm = mat(take_group(g, s))
         Lz = jnp.linalg.cholesky(Z)
         Ls = jnp.linalg.cholesky(Sm)
         U, lam, _ = jnp.linalg.svd(jnp.swapaxes(Lz, -1, -2) @ Ls)
@@ -147,6 +150,12 @@ def nt_inv_adjoint(spec: ConeSpec, F: NTScaling) -> NTScaling:
     return NTScaling(r_d=r_d, soc=tuple(soc), sdp=tuple(sdp))
 
 
+def cast(F: NTScaling, dtype) -> NTScaling:
+    """All scaling fields converted to ``dtype`` (one-time cast so the KKT
+    solve path can run entirely in the factorization precision)."""
+    return jax.tree_util.tree_map(lambda x: x.astype(dtype), F)
+
+
 # ──────────────────────────────────────────────────────────────
 #  Application to vectors / matrix rows
 # ──────────────────────────────────────────────────────────────
@@ -155,17 +164,17 @@ def nt_inv_adjoint(spec: ConeSpec, F: NTScaling) -> NTScaling:
 def _apply(spec: ConeSpec, F: NTScaling, x: jnp.ndarray, transpose_sdp: bool):
     o = jnp.zeros_like(x)
     if spec.nr:
-        o = o.at[spec.r_idx].set(F.r_d * x[spec.r_idx])
+        o = put_r(spec, o, F.r_d * take_r(spec, x))
     for g, sc in zip(spec.soc_groups, F.soc):
-        xg = x[g.idx]
+        xg = take_group(g, x)
         val = sc.d * xg + (sc.alpha * _dot(sc.u, xg))[:, None] * sc.u
-        o = o.at[g.idx].set(val)
+        o = put_group(g, o, val)
     for g, sd in zip(spec.sdp_groups, F.sdp):
-        X = mat(x[g.idx])
+        X = mat(take_group(g, x))
         S = sd.S
         St = jnp.swapaxes(S, -1, -2)
         Y = (S @ X @ St) if transpose_sdp else (St @ X @ S)
-        o = o.at[g.idx].set(vecm(Y))
+        o = put_group(g, o, vecm(Y))
     return o
 
 
@@ -189,21 +198,21 @@ def _apply_mat(spec: ConeSpec, F: NTScaling, A: jnp.ndarray, transpose_sdp: bool
     """
     o = jnp.zeros_like(A)
     if spec.nr:
-        o = o.at[spec.r_idx].set(F.r_d[:, None] * A[spec.r_idx])
+        o = put_rows_r(spec, o, F.r_d[:, None] * take_rows_r(spec, A))
     for g, sc in zip(spec.soc_groups, F.soc):
-        Ag = A[g.idx]  # (k, dim, n)
+        Ag = take_rows_group(g, A)  # (k, dim, n)
         uA = jnp.einsum("kd,kdn->kn", sc.u, Ag)
         val = sc.d[:, :, None] * Ag + sc.alpha[:, None, None] * sc.u[:, :, None] * uA[:, None, :]
-        o = o.at[g.idx].set(val)
+        o = put_rows_group(g, o, val)
     for g, sd in zip(spec.sdp_groups, F.sdp):
-        Ag = A[g.idx]  # (k, t, n)
+        Ag = take_rows_group(g, A)  # (k, t, n)
         X = mat(jnp.swapaxes(Ag, -1, -2))  # (k, n, d, d)
         S = sd.S
         if transpose_sdp:
             Y = jnp.einsum("kab,knbc,kdc->knad", S, X, S)
         else:
             Y = jnp.einsum("kba,knbc,kcd->knad", S, X, S)
-        o = o.at[g.idx].set(jnp.swapaxes(vecm(Y), -1, -2))
+        o = put_rows_group(g, o, jnp.swapaxes(vecm(Y), -1, -2))
     return o
 
 

@@ -66,12 +66,43 @@ def tri_indices(d: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return rows_a, cols_a, scale
 
 
+def _contig_start(idx: np.ndarray):
+    """Start offset if ``idx.ravel()`` is one consecutive run, else None.
+
+    TPU gathers/scatters with explicit index arrays are slow (they lower to
+    real gather/scatter HLOs); a consecutive run lowers to a static slice /
+    dynamic-update-slice, which is nearly free. Cone groups are consecutive
+    whenever same-typed cones are adjacent in ``cone_dims`` — in particular
+    always for single-type cone products (the common case).
+    """
+    flat = idx.ravel()
+    if flat.size == 0:
+        return 0
+    start = int(flat[0])
+    if np.array_equal(flat, np.arange(start, start + flat.size, dtype=flat.dtype)):
+        return start
+    return None
+
+
+def _runs(idx: np.ndarray) -> Tuple[Tuple[int, int], ...]:
+    """Maximal consecutive runs of a sorted index vector as (start, stop)."""
+    if idx.size == 0:
+        return ()
+    breaks = np.nonzero(np.diff(idx) != 1)[0]
+    starts = np.concatenate([[0], breaks + 1])
+    stops = np.concatenate([breaks + 1, [idx.size]])
+    return tuple(
+        (int(idx[a]), int(idx[b - 1]) + 1) for a, b in zip(starts, stops)
+    )
+
+
 @dataclass(frozen=True)
 class SocGroup:
     """All second-order cones of one dimension, batched."""
 
     dim: int
     idx: np.ndarray = field(compare=False)  # (k, dim) int32 coordinates into the m-vector
+    contig: "int | None" = field(default=None, compare=False)
 
     @property
     def count(self) -> int:
@@ -84,6 +115,7 @@ class SdpGroup:
 
     order: int
     idx: np.ndarray = field(compare=False)  # (k, order*(order+1)/2) int32
+    contig: "int | None" = field(default=None, compare=False)
 
     @property
     def count(self) -> int:
@@ -136,12 +168,15 @@ class ConeSpec:
             np.concatenate(r_idx).astype(np.int32) if r_idx else np.zeros(0, np.int32)
         )
         self.r_idx.setflags(write=False)
+        self.r_runs = _runs(self.r_idx)
         self.soc_groups = tuple(
-            SocGroup(dim=d, idx=_freeze(np.stack(v)))
+            SocGroup(dim=d, idx=_freeze(np.stack(v)),
+                     contig=_contig_start(np.stack(v)))
             for d, v in sorted(soc.items())
         )
         self.sdp_groups = tuple(
-            SdpGroup(order=d, idx=_freeze(np.stack(v)))
+            SdpGroup(order=d, idx=_freeze(np.stack(v)),
+                     contig=_contig_start(np.stack(v)))
             for d, v in sorted(sdp.items())
         )
 

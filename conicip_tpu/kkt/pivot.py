@@ -6,17 +6,26 @@ operator is ``(FᵀF)⁻¹ = F⁻¹F⁻ᵀ`` — identical for the symmetric R/Q
 but wrong for SDP congruences (the documented cause of its pivot-solver
 ``PosDefException`` failure on mixed R+Q+S problems, benchmark/report.md:72).
 We apply the correct ``F⁻¹F⁻ᵀ`` so the pivoted path works on all cones.
+
+With ``factor_dtype`` set, the adapter's own matrix products (``Aᵀt₁`` and
+``A·Δy``) run in that precision against a one-time-cast copy of A — the
+IPM's refinement loop against full-precision residuals absorbs the error.
 """
 
 from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
 
 from ..cones import scaling as sc
 from ..cones.spec import ConeSpec
 
 __all__ = ["pivot"]
 
+_HI = jax.lax.Precision.HIGHEST
 
-def pivot(kktsolver_2x2):
+
+def pivot(kktsolver_2x2, factor_dtype=None):
     """Wrap a 2x2 solver factory into a 3x3 one.
 
     The inner solver handles the Schur system::
@@ -29,19 +38,27 @@ def pivot(kktsolver_2x2):
 
     def kktsolver(Q, A, G, spec: ConeSpec):
         solve2x2gen = kktsolver_2x2(Q, A, G, spec)
+        wd = Q.dtype
+        fd = wd if factor_dtype is None else factor_dtype
+        Af = A.astype(fd)
+        AfT = Af.T
 
         def solve3x3gen(F, FinvT):
             solve2x2 = solve2x2gen(F, FinvT)
+            Ff = sc.cast(FinvT, fd)
 
             def w2inv(x):
                 # (FᵀF)⁻¹ x = F⁻¹ (F⁻ᵀ x)
-                return sc.apply_adjoint(spec, FinvT, sc.apply(spec, FinvT, x))
+                return sc.apply_adjoint(spec, Ff, sc.apply(spec, Ff, x))
 
             def solve3x3(y, w, v):
-                t1 = w2inv(v)
-                dy, dw = solve2x2(y + A.T @ t1, w)
-                dv = t1 - w2inv(A @ dy)  # = (FᵀF)⁻¹ (v - A dy)
-                return dy, dw, dv
+                t1 = w2inv(v.astype(fd))
+                dy, dw = solve2x2(
+                    y + jnp.matmul(AfT, t1, precision=_HI).astype(wd), w
+                )
+                # Δv = (FᵀF)⁻¹ (v - A Δy)
+                dv = t1 - w2inv(jnp.matmul(Af, dy.astype(fd), precision=_HI))
+                return dy, dw, dv.astype(wd)
 
             return solve3x3
 

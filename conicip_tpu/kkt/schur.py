@@ -9,26 +9,38 @@ one big MXU matmul, never materializing FᵀF, fixing the reference's worst
 allocation pathology, report.md:148-151), and the saddle system is solved by
 a second Schur complement on G:
 
-    M = L Lᵀ  (blocked Cholesky — Pallas kernel on TPU)
+    M = L Lᵀ  (blocked Cholesky)
     S = G M⁻¹ Gᵀ = (L⁻¹Gᵀ)ᵀ(L⁻¹Gᵀ),   S = Ls Lsᵀ
 
-``factor_dtype=float32`` runs both factorizations on the MXU in f32; the
-IPM's iterative-refinement loop restores full accuracy.
+Mixed-precision design (``factor_dtype=float32``): the whole inner solve
+path — casts, assembly, factorization, AND every per-RHS application — runs
+in f32; the IPM's iterative-refinement loop against higher-precision
+residuals restores accuracy. Per-RHS triangular back-solves are replaced by
+GEMVs against an explicitly formed ``L⁻¹`` computed once per iteration:
+on TPU a vector triangular solve is a latency-bound ~0.12 ms sequential op
+while a (n,n) GEMV is ~7 us of MXU/VPU work, and the predictor + corrector
++ refinement steps perform 3-6 back-solves per factorization, so trading
+one matrix triangular solve (L⁻¹, blocked and matmul-rich in XLA) for
+GEMV-only solves is a large win. The explicit inverse's extra rounding is
+bounded by κ(L)·eps_f32 per apply — exactly what refinement corrects.
 """
 
 from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 from ..cones import scaling as sc
 from ..cones.spec import ConeSpec
-from ..ops.cholesky import cho_solve, cholesky
+from ..ops.cholesky import cholesky
 from .pivot import pivot
 
 __all__ = ["kktsolver_2x2", "kktsolver_schur"]
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
@@ -51,46 +63,75 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
     """
     n = Q.shape[0]
     p = G.shape[0]
+    wd = Q.dtype  # working dtype of the IPM vectors
+    fd = wd if factor_dtype is None else factor_dtype
+    Qf = Q.astype(fd)
+    Af = A.astype(fd)
+    Gf = G.astype(fd)
+    GfT = Gf.T
+    If = jnp.eye(n, dtype=fd)
+
+    # Late IPM iterations drive κ(M) toward 1/μ ≈ 1e10+, beyond what a raw
+    # f32 Cholesky survives. Symmetric Jacobi equilibration (unit diagonal)
+    # plus a tiny relative ridge keeps the factorization finite; the exact
+    # perturbation is corrected by the IPM's refinement loop.
+    ridge = 30.0 * jnp.finfo(fd).eps
+
+    def _equilibrated_inv(Msym, k):
+        dscale = jax.lax.rsqrt(
+            jnp.maximum(jnp.diagonal(Msym), jnp.finfo(fd).tiny)
+        )
+        Ms = Msym * dscale[:, None] * dscale[None, :]
+        Ms = Ms + ridge * jnp.eye(k, dtype=fd)
+        L = cholesky(Ms)
+        # One-time explicit triangular inverse: every subsequent back-solve
+        # becomes two GEMVs (see module docstring for the cost model).
+        Linv = solve_triangular(L, jnp.eye(k, dtype=fd), lower=True)
+
+        def inv_apply(x):
+            # M⁻¹ x = D L⁻ᵀ L⁻¹ D x with D the equilibration scale
+            t = jnp.matmul(Linv, dscale * x, precision=_HI)
+            return dscale * jnp.matmul(Linv.T, t, precision=_HI)
+
+        return inv_apply, Linv, dscale
 
     def solve2x2gen(F, FinvT):
-        Atil = sc.apply_mat(spec, FinvT, A)  # F⁻ᵀ A, structure-exploiting
-        M = Q + Atil.T @ Atil
+        Ff = sc.cast(FinvT, fd)
+        Atil = sc.apply_mat(spec, Ff, Af)  # F⁻ᵀ A, structure-exploiting
+        M = Qf + jnp.matmul(Atil.T, Atil, precision=_HI)
         if p:
             gamma = (jnp.trace(M) / n) / (
-                jnp.sum(G * G) / p + jnp.finfo(M.dtype).tiny
+                jnp.sum(Gf * Gf) / p + jnp.finfo(fd).tiny
             )
             gamma = jnp.where(jnp.isfinite(gamma) & (gamma > 0), gamma, 1.0)
-            Maug = M + gamma * (G.T @ G)
+            Maug = M + gamma * jnp.matmul(GfT, Gf, precision=_HI)
         else:
             gamma = None
             Maug = M
-        L = cholesky(Maug, factor_dtype)
+        minv, Linv, dscale = _equilibrated_inv(Maug, n)
+
         if p:
-            E = _tri_solve(L, G.T)  # L⁻¹ Gᵀ  (n, p) in factor dtype
-            S = E.T @ E  # G M̃⁻¹ Gᵀ  (SPD)
-            Ls = jnp.linalg.cholesky(S)
+            # S = G M̃⁻¹ Gᵀ = Ê Êᵀ with Ê = G D L⁻ᵀ in equilibrated space
+            E = jnp.matmul(Linv, dscale[:, None] * GfT, precision=_HI)
+            S = jnp.matmul(E.T, E, precision=_HI)  # SPD
+            sinv, _, _ = _equilibrated_inv(S, p)
 
         def solve2x2(by, bw):
+            by = by.astype(fd)
+            bw = bw.astype(fd)
             if p:
-                t = cho_solve(L, by + gamma * (G.T @ bw))
-                rhs = (G @ t - bw).astype(Ls.dtype)
-                b2 = solve_triangular(Ls, rhs, lower=True)
-                b2 = solve_triangular(Ls, b2, lower=True, trans="T")
-                b2 = b2.astype(t.dtype)
-                a = t - cho_solve(L, G.T @ b2)
-                return a, b2
-            return cho_solve(L, by), by[:0]
+                t = minv(by + gamma * (GfT @ bw))
+                b2 = sinv(Gf @ t - bw)
+                a = t - minv(GfT @ b2)
+                return a.astype(wd), b2.astype(wd)
+            return minv(by).astype(wd), by[:0].astype(wd)
 
         return solve2x2
 
     return solve2x2gen
 
 
-def _tri_solve(L, B):
-    return solve_triangular(L, B.astype(L.dtype), lower=True)
-
-
 def kktsolver_schur(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
     """Default KKT solver: :func:`pivot` around :func:`kktsolver_2x2`."""
     inner = functools.partial(kktsolver_2x2, factor_dtype=factor_dtype)
-    return pivot(inner)(Q, A, G, spec)
+    return pivot(inner, factor_dtype=factor_dtype)(Q, A, G, spec)

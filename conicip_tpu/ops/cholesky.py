@@ -27,7 +27,11 @@ def cholesky(M: jnp.ndarray, factor_dtype=None) -> jnp.ndarray:
         M = M.astype(factor_dtype)
     import os
 
-    use_pallas = os.environ.get("CONICIP_TPU_PALLAS_CHOLESKY", "1") == "1"
+    # Opt-in: the current VMEM-resident kernel is correct but measured
+    # ~10x slower than XLA's cholesky on v5e at n=1024 (2.1 ms vs 0.21 ms,
+    # tools/devbench.py) — its per-column fori_loop steps pay ~1.7 us each
+    # of Mosaic loop overhead. Off by default until the rewrite lands.
+    use_pallas = os.environ.get("CONICIP_TPU_PALLAS_CHOLESKY", "0") == "1"
     if use_pallas and M.dtype == jnp.float32 and M.ndim == 2 and M.shape[0] >= 128:
         from .pallas_cholesky import _BLOCK, _MAX_VMEM_N, pallas_cholesky_available
 

@@ -58,6 +58,7 @@ def conic_ip(
     refinementThreshold: Optional[float] = None,
     factor_dtype=None,
     dtype=None,
+    mixedResiduals: Optional[bool] = None,
 ) -> Solution:
     """Interior point solver for
 
@@ -85,6 +86,11 @@ def conic_ip(
     spec = ConeSpec(cone_dims)
     if kktsolver is None:
         kktsolver = _default_kktsolver(factor_dtype)
+    if mixedResiduals is None:
+        # With an f32 factorization and f64 iterates, residual mat-vecs are
+        # the only remaining emulated-f64 cost on TPU — run them in f32 and
+        # recertify in f64 near tolerances (see solver/ipm.py docstring).
+        mixedResiduals = factor_dtype == jnp.float32 and dtype == jnp.float64
     opts = IPMOptions(
         optTol=optTol,
         DTB=DTB,
@@ -94,6 +100,7 @@ def conic_ip(
         cache_nestodd=cache_nestodd,
         infeasTol=infeasTol,
         refinementThreshold=refinementThreshold,
+        mixedResiduals=mixedResiduals,
     )
     st = _solve_jit(Q, c, A, b, G, d, spec=spec, kktsolver=kktsolver, opts=opts)
     st = jax.block_until_ready(st)

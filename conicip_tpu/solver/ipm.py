@@ -12,13 +12,25 @@ Semantics preserved exactly (same initial point, residual normalizations,
 CVXOPT+ECOS infeasibility certificates, best-iterate tracking, iterative
 refinement, fraction-to-boundary step) so the reference's test suite carries
 over; see inline citations.
+
+Mixed-precision residuals (the TPU-critical design point): TPUs have no
+hardware f64 — XLA emulates it, and an emulated f64 (n,n) mat-vec costs
+~40x its f32 counterpart (measured 0.30 ms vs 0.007 ms at n=1024 on v5e).
+The residual/certificate evaluations are the only place the IPM *needs*
+more than f32: every product inside the KKT solve is corrected by
+refinement anyway. So with ``mixedResiduals`` on, all residual mat-vecs run
+in f32 each iteration, and a ``lax.cond`` recomputes them in full precision
+only when the f32 estimates come within ``residualSwitch`` of a tolerance —
+i.e. the last one or two iterations. Convergence and certificate decisions
+are only ever taken on full-precision values (the f32 floor is ~1e-7,
+well above the 50x-tolerance switch point, so a trigger can't be missed).
 """
 
 from __future__ import annotations
 
 import math
 from dataclasses import dataclass, replace
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +41,8 @@ from ..cones.spec import ConeSpec
 from .state import SolState, Status, Vec4
 
 __all__ = ["IPMOptions", "ipm_solve"]
+
+_HI = jax.lax.Precision.HIGHEST
 
 
 @dataclass(frozen=True)
@@ -45,6 +59,11 @@ class IPMOptions:
     cache_nestodd: bool = False
     infeasTol: Optional[float] = None
     refinementThreshold: Optional[float] = None
+    # TPU mixed-precision residual mode (see module docstring). Enabled
+    # automatically by conic_ip when factor_dtype=float32 and the working
+    # dtype is float64.
+    mixedResiduals: bool = False
+    residualSwitch: float = 50.0
 
     @property
     def infeas_tol(self) -> float:
@@ -61,6 +80,30 @@ class IPMOptions:
 
 def _normsafe(x):
     return jnp.linalg.norm(x) if x.shape[0] else jnp.asarray(0.0, x.dtype)
+
+
+class _Products(NamedTuple):
+    """The three stacked mat-vecs everything per-iteration derives from."""
+
+    Qy: jnp.ndarray  # Q @ y                       (n,)
+    GAy: jnp.ndarray  # [G; A] @ y                 (p+m,)
+    GAtwv: jnp.ndarray  # [Gᵀ, -Aᵀ] @ [w; v]       (n,)
+
+
+class _Resid(NamedTuple):
+    rleft: Vec4
+    r0: Vec4
+    mu: jnp.ndarray
+    mubar: jnp.ndarray
+    cty: jnp.ndarray
+    rDu: jnp.ndarray
+    rPr: jnp.ndarray
+    rCp: jnp.ndarray
+    rmax: jnp.ndarray
+    pobj: jnp.ndarray
+    dobj: jnp.ndarray
+    p_infeas: jnp.ndarray
+    d_infeas: jnp.ndarray
 
 
 def ipm_solve(
@@ -100,6 +143,101 @@ def ipm_solve(
     normb = _normsafe(b)
     normd = jnp.asarray(-jnp.inf, dtype) if p == 0 else jnp.linalg.norm(d)
 
+    # ── Stacked residual operators (module docstring). GA = [G; A] and
+    #    GAt = [Gᵀ, -Aᵀ] so that rleft.y = Qy + GAt@[w;v], rleft.w = GAy[:p],
+    #    rleft.v = GAy[p:] - s (ConicIP.jl:746-750 as three fused mat-vecs).
+    GA = jnp.concatenate([G, A], axis=0)  # (p+m, n)
+    GAt = jnp.concatenate([G.T, -A.T], axis=1)  # (n, p+m)
+
+    mixed = bool(opts.mixedResiduals) and dtype != jnp.float32
+    if mixed:
+        f32 = jnp.float32
+        Q32, GA32, GAt32 = Q.astype(f32), GA.astype(f32), GAt.astype(f32)
+
+    def products_full(y, w, v):
+        wv = jnp.concatenate([w, v])
+        return _Products(
+            jnp.matmul(Q, y, precision=_HI),
+            jnp.matmul(GA, y, precision=_HI),
+            jnp.matmul(GAt, wv, precision=_HI),
+        )
+
+    def products_fast(y, w, v):
+        if not mixed:
+            return products_full(y, w, v)
+        y32 = y.astype(f32)
+        wv32 = jnp.concatenate([w, v]).astype(f32)
+        return _Products(
+            jnp.matmul(Q32, y32, precision=_HI).astype(dtype),
+            jnp.matmul(GA32, y32, precision=_HI).astype(dtype),
+            jnp.matmul(GAt32, wv32, precision=_HI).astype(dtype),
+        )
+
+    nan = jnp.asarray(jnp.nan, dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    def residual_block(P: _Products, z: Vec4, lam) -> _Resid:
+        """All residual / objective / certificate scalars from the three
+        stacked products — pure vector work (ConicIP.jl:746-766, 786-850)."""
+        rleft_s = ca.cone_prod(spec, lam, lam)
+        rleft = Vec4(P.Qy + P.GAtwv, P.GAy[:p], P.GAy[p:] - z.s, rleft_s)
+        r0 = Vec4(rleft.y - c, rleft.w - d, rleft.v - b, rleft.s)
+
+        mubar = jnp.dot(z.v, z.s)
+        mu = mubar / conedim
+        cty = jnp.dot(c, z.y)
+        rDu = jnp.linalg.norm(r0.y) / (1.0 + normc)
+        rPr = _normsafe(r0.v) / (1.0 + normb)
+        rCp = _normsafe(r0.s) / (1.0 + jnp.abs(cty))
+        rmax = jnp.maximum(rDu, jnp.maximum(rPr, rCp))
+        pobj = 0.5 * jnp.dot(z.y, P.Qy) - cty
+        dobj = pobj + jnp.dot(z.w, r0.w) + jnp.dot(z.v, r0.v) - mubar
+
+        p_infeas = nan
+        d_infeas = nan
+        if not (p == 0 and m == 0):
+            # Primal infeasibility (Farkas certificate, CVXOPT+ECOS scalings)
+            dw_bv = jnp.dot(d, z.w) - jnp.dot(b, z.v)
+            p_unscaled = jnp.linalg.norm(P.GAtwv)  # ‖Gᵀw − Aᵀv‖
+            p_cvx = jnp.where(
+                dw_bv < 0, p_unscaled / (_normsafe(z.y) + _normsafe(z.v)), nan
+            )
+            p_ecos = jnp.where(
+                dw_bv < 0,
+                p_unscaled / (jnp.maximum(1.0, normc) * jnp.abs(dw_bv)),
+                nan,
+            )
+            p_infeas = jnp.maximum(p_cvx, p_ecos)
+
+            # Dual infeasibility / unboundedness (ConicIP.jl:820-850)
+            d1 = jnp.linalg.norm(rleft.v) if m else -inf  # ‖Ay − s‖
+            d2 = jnp.linalg.norm(rleft.w) if p else -inf  # ‖Gy‖
+            d3 = jnp.where(
+                jnp.all(jnp.isfinite(z.y)), jnp.linalg.norm(P.Qy), nan
+            )
+            d_cvx = jnp.where(
+                cty > 0,
+                jnp.maximum(
+                    d1 / jnp.maximum(1.0, normb),
+                    jnp.maximum(
+                        d2 / jnp.maximum(1.0, normd), d3 / jnp.maximum(1.0, normc)
+                    ),
+                )
+                / jnp.abs(cty),
+                nan,
+            )
+            d_ecos = jnp.where(
+                cty > 0,
+                jnp.maximum(d1, jnp.maximum(d2, d3)) / jnp.linalg.norm(z.y),
+                nan,
+            )
+            d_infeas = jnp.abs(jnp.maximum(d_cvx, d_ecos))
+
+        return _Resid(
+            rleft, r0, mu, mubar, cty, rDu, rPr, rCp, rmax, pobj, dobj,
+            p_infeas, d_infeas,
+        )
+
     # LEVEL-1 plugin callback: one-time setup (runs at trace time, outside
     # the iterate loop — QR of Gᵀ etc. happen once, ConicIP.jl:667).
     solve3x3gen = kktsolver(Q, A, G, spec)
@@ -123,9 +261,6 @@ def ipm_solve(
     a_v = ca.maxstep_to_cone(spec, z0.v)
     a_s = ca.maxstep_to_cone(spec, z0.s)
     z0 = Vec4(z0.y, z0.w, z0.v - a_v * e, z0.s - a_s * e)
-
-    nan = jnp.asarray(jnp.nan, dtype)
-    inf = jnp.asarray(jnp.inf, dtype)
 
     sol0 = SolState(
         y=z0.y,
@@ -151,6 +286,8 @@ def ipm_solve(
             + a1 * a2 * jnp.dot(y1, y2)
         )
 
+    sw = opts.residualSwitch
+
     def body(carry):
         z, sol, optBest, k, rnorm_prev, rstep_prev = carry
 
@@ -159,103 +296,76 @@ def ipm_solve(
         lam = sc.apply(spec, F, z.v)  # scaled point: = F⁻ᵀ z.s too
 
         # residuals of the nonlinear KKT system (ConicIP.jl:746-757)
-        rleft_s = ca.cone_prod(spec, lam, lam)
-        rleft = Vec4(
-            Q @ z.y + G.T @ z.w - A.T @ z.v,
-            G @ z.y,
-            A @ z.y - z.s,
-            rleft_s,
-        )
-        r0 = Vec4(rleft.y - c, rleft.w - d, rleft.v - b, rleft.s)
-
-        mubar = jnp.dot(z.v, z.s)
-        mu = mubar / conedim
-
-        cty = jnp.dot(c, z.y)
-        rDu = jnp.linalg.norm(r0.y) / (1.0 + normc)
-        rPr = _normsafe(r0.v) / (1.0 + normb)
-        rCp = _normsafe(r0.s) / (1.0 + jnp.abs(cty))
-        rmax = jnp.maximum(rDu, jnp.maximum(rPr, rCp))
+        P = products_fast(z.y, z.w, z.v)
+        R = residual_block(P, z, lam)
+        if mixed:
+            # Near any tolerance the f32 estimates are noise-limited —
+            # recompute the products in full precision and redo the (cheap,
+            # vector-only) residual block. Decisions below only ever see
+            # full-precision values: the f32 noise floor (~1e-7 relative)
+            # sits far below the switch point of `residualSwitch` x tol.
+            trigger = (
+                (R.rmax < sw * opts.optTol)
+                | (R.p_infeas < sw * opts.infeas_tol)
+                | (R.d_infeas < sw * opts.infeas_tol)
+                | ~jnp.isfinite(R.rmax)
+            )
+            P = jax.lax.cond(
+                trigger,
+                lambda zz: products_full(zz.y, zz.w, zz.v),
+                lambda zz: P,
+                z,
+            )
+            R = residual_block(P, z, lam)
 
         # best-iterate tracking (ConicIP.jl:768-773)
-        improved = rmax < optBest
-        optBest = jnp.where(improved, rmax, optBest)
+        improved = R.rmax < optBest
+        optBest = jnp.where(improved, R.rmax, optBest)
 
         def upd(new, old):
             return jnp.where(improved, new, old)
 
-        pobj = 0.5 * jnp.dot(z.y, Q @ z.y) - cty
-        dobj = pobj + jnp.dot(z.w, r0.w) + jnp.dot(z.v, r0.v) - jnp.dot(z.v, z.s)
         sol = SolState(
             y=upd(z.y, sol.y),
             w=upd(z.w, sol.w),
             v=upd(z.v, sol.v),
             status=sol.status,
             Iter=jnp.where(improved, k, sol.Iter),
-            Mu=upd(mu, sol.Mu),
-            prFeas=upd(rPr, sol.prFeas),
-            duFeas=upd(rDu, sol.duFeas),
-            muFeas=upd(rCp, sol.muFeas),
-            pobj=pobj,  # always updated (reference quirk, ConicIP.jl:778-779)
-            dobj=dobj,
+            Mu=upd(R.mu, sol.Mu),
+            prFeas=upd(R.rPr, sol.prFeas),
+            duFeas=upd(R.rDu, sol.duFeas),
+            muFeas=upd(R.rCp, sol.muFeas),
+            pobj=R.pobj,  # always updated (reference quirk, ConicIP.jl:778-779)
+            dobj=R.dobj,
         )
 
         # ── Convergence and certificates (ConicIP.jl:786-867)
-        status = jnp.where(rmax < opts.optTol, Status.OPTIMAL, Status.RUNNING)
+        status = jnp.where(R.rmax < opts.optTol, Status.OPTIMAL, Status.RUNNING)
 
-        p_infeas = nan
-        d_infeas = nan
         if not (p == 0 and m == 0):
-            # Primal infeasibility (Farkas certificate, CVXOPT+ECOS scalings)
-            dw_bv = jnp.dot(d, z.w) - jnp.dot(b, z.v)
-            p_unscaled = jnp.linalg.norm(G.T @ z.w - A.T @ z.v)
-            p_cvx = jnp.where(
-                dw_bv < 0, p_unscaled / (_normsafe(z.y) + _normsafe(z.v)), nan
-            )
-            p_ecos = jnp.where(
-                dw_bv < 0, p_unscaled / (jnp.maximum(1.0, normc) * jnp.abs(dw_bv)), nan
-            )
-            p_infeas = jnp.maximum(p_cvx, p_ecos)
-            infeas = p_infeas < opts.infeas_tol
-
-            # Dual infeasibility / unboundedness (ConicIP.jl:820-850)
-            d1 = jnp.linalg.norm(A @ z.y - z.s) if m else -inf
-            d2 = jnp.linalg.norm(G @ z.y) if p else -inf
-            d3 = jnp.where(
-                jnp.all(jnp.isfinite(z.y)), jnp.linalg.norm(Q @ z.y), nan
-            )
-            d_cvx = jnp.where(
-                cty > 0,
-                jnp.maximum(
-                    d1 / jnp.maximum(1.0, normb),
-                    jnp.maximum(d2 / jnp.maximum(1.0, normd), d3 / jnp.maximum(1.0, normc)),
-                )
-                / jnp.abs(cty),
-                nan,
-            )
-            d_ecos = jnp.where(
-                cty > 0,
-                jnp.maximum(d1, jnp.maximum(d2, d3)) / jnp.linalg.norm(z.y),
-                nan,
-            )
-            d_infeas = jnp.abs(jnp.maximum(d_cvx, d_ecos))
-            unbnd = d_infeas < opts.infeas_tol
-
+            infeas = R.p_infeas < opts.infeas_tol
+            unbnd = R.d_infeas < opts.infeas_tol
             status = jnp.where(infeas, Status.INFEASIBLE, status)
             status = jnp.where(unbnd, Status.UNBOUNDED, status)
 
             # certificate normalizations overwrite the solution fields
             # (ConicIP.jl:816, :848)
+            dw_bv = jnp.dot(d, z.w) - jnp.dot(b, z.v)
             sol = replace(
                 sol,
-                y=jnp.where(infeas, nan, jnp.where(unbnd, z.y / jnp.abs(cty), sol.y)),
+                y=jnp.where(
+                    infeas, nan, jnp.where(unbnd, z.y / jnp.abs(R.cty), sol.y)
+                ),
                 w=jnp.where(infeas, z.w / -dw_bv, jnp.where(unbnd, nan, sol.w)),
                 v=jnp.where(infeas, z.v / -dw_bv, jnp.where(unbnd, nan, sol.v)),
             )
 
         # divergence of unknown cause (ConicIP.jl:870-873)
         bad = ~(
-            jnp.isfinite(mu) & jnp.isfinite(rDu) & jnp.isfinite(rPr) & jnp.isfinite(rCp)
+            jnp.isfinite(R.mu)
+            & jnp.isfinite(R.rDu)
+            & jnp.isfinite(R.rPr)
+            & jnp.isfinite(R.rCp)
         )
         status = jnp.where((status == Status.RUNNING) & bad, Status.ERROR, status)
         status = status.astype(jnp.int32)
@@ -264,17 +374,19 @@ def ipm_solve(
             jax.debug.callback(
                 _print_row,
                 k,
-                rDu,
-                rPr,
-                rCp,
-                pobj,
-                dobj,
-                p_infeas,
-                d_infeas,
+                R.rDu,
+                R.rPr,
+                R.rCp,
+                R.pobj,
+                R.dobj,
+                R.p_infeas,
+                R.d_infeas,
                 rstep_prev,
                 rnorm_prev,
                 ordered=True,
             )
+
+        r0, rleft, mu, mubar = R.r0, R.rleft, R.mu, R.mubar
 
         # ── Predictor / corrector / refinement / step — only while running.
         def take_step(z):
@@ -299,12 +411,17 @@ def ipm_solve(
 
             # Newton step + iterative refinement (ConicIP.jl:907-921).
             # On TPU this loop doubles as the mixed-precision recovery
-            # mechanism when the factorization ran in f32.
+            # mechanism for the f32 factorization. The K·Δz products run
+            # through the fast (f32) stacked operators: refinement only
+            # needs the residual accurately *relative to Δz*, and near
+            # convergence ‖Δz‖ is small, so the f32 floor costs nothing —
+            # while an emulated-f64 K·Δz would cost ~2 ms per step.
             def K4(dz):
+                Pd = products_fast(dz.y, dz.w, dz.v)
                 return Vec4(
-                    Q @ dz.y + G.T @ dz.w - A.T @ dz.v,
-                    G @ dz.y,
-                    A @ dz.y - dz.s,
+                    Pd.Qy + Pd.GAtwv,
+                    Pd.GAy[:p],
+                    Pd.GAy[p:] - dz.s,
                     ca.cone_prod(spec, lam, sc.apply(spec, F, dz.v))
                     + ca.cone_prod(spec, lam, sc.apply(spec, FinvT, dz.s)),
                 )
@@ -317,19 +434,26 @@ def ipm_solve(
             rIr, rnorm = resid(dz)
 
             def ref_cond(st):
-                _, _, rn, j = st
-                return (j < opts.maxRefinementSteps) & (
-                    rn >= opts.refinement_threshold
+                _, _, rn, rn_prev, j = st
+                # Stall cutoff: stop when a step failed to halve the
+                # residual (e.g. at the f32 noise floor) — refinement past
+                # that point is a random walk.
+                return (
+                    (j < opts.maxRefinementSteps)
+                    & (rn >= opts.refinement_threshold)
+                    & (rn < 0.5 * rn_prev)
                 )
 
             def ref_body(st):
-                dz, rIr, _, j = st
+                dz, rIr, rn, _, j = st
                 dz = dz + solve4(rIr)
-                rIr, rn = resid(dz)
-                return dz, rIr, rn, j + 1
+                rIr, rn_new = resid(dz)
+                return dz, rIr, rn_new, rn, j + 1
 
-            dz, rIr, rnorm, rstep = jax.lax.while_loop(
-                ref_cond, ref_body, (dz, rIr, rnorm, jnp.asarray(0, jnp.int32))
+            dz, rIr, rnorm, _, rstep = jax.lax.while_loop(
+                ref_cond,
+                ref_body,
+                (dz, rIr, rnorm, inf, jnp.asarray(0, jnp.int32)),
             )
 
             # Step with fraction-to-boundary (ConicIP.jl:927-932)

@@ -56,7 +56,7 @@ def main() -> None:
         else:
             raise SystemExit(f"unknown backend {name}")
 
-    opts = IPMOptions(optTol=1e-6)
+    opts = IPMOptions(optTol=1e-6, mixedResiduals=args.factor_dtype == "float32")
     print(f"# backend={jax.default_backend()} trials={args.trials} "
           f"factor_dtype={args.factor_dtype}", file=sys.stderr)
 
