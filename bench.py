@@ -3,11 +3,15 @@
 
 BASELINE.json metric: "KKT factorize+solve ms/iter and IP iterations/s at
 n=1000 QP; residual tolerance hit". Reference best (pivot/2x2 sparse-LU on
-Apple-Silicon CPU): 7.4 ms / 7 iters ≈ 1.06 ms per IP iteration ≈ ~950
-iterations/s (BASELINE.md). We time K distinct device-resident solves
-(inputs pre-transferred to HBM, mirroring the reference's in-RAM data) with
-f32 factorization + f64 iterative refinement, and verify every solve hits
-the 1e-6 residual tolerance.
+Apple-Silicon CPU): 7.4 ms / 7 iters ~= 1.06 ms per IP iteration ~= ~950
+iterations/s (BASELINE.md).
+
+Measurement notes for the tunneled axon backend: jax.block_until_ready does
+not reliably wait, and every synchronous dispatch+sync pays a ~30 ms tunnel
+round trip — so K solves are chained *inside one jit* with lax.fori_loop
+(one dispatch, one device->host sync of small arrays), and the single
+round-trip cost is measured on a trivial op and subtracted. Every solve is
+a full cold-start interior-point run; residuals are verified against 1e-6.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -26,12 +30,12 @@ def main() -> None:
 
     import conicip_tpu  # noqa: F401  (enables x64)
     from conicip_tpu.cones.spec import ConeSpec
-    from conicip_tpu.solver import _default_kktsolver, _solve_jit
-    from conicip_tpu.solver.ipm import IPMOptions
+    from conicip_tpu.solver import _default_kktsolver
+    from conicip_tpu.solver.ipm import IPMOptions, ipm_solve
     from conicip_tpu.solver.state import Status
 
     n = 1000
-    K = 16
+    K = 64
     spec = ConeSpec([("R", 2 * n)])
     opts = IPMOptions(optTol=1e-6, mixedResiduals=True)
     kkt = _default_kktsolver(jnp.float32)
@@ -39,56 +43,64 @@ def main() -> None:
     rng = np.random.default_rng(0)
     A = jax.device_put(jnp.asarray(np.vstack([np.eye(n), -np.eye(n)])))
     b = jax.device_put(jnp.asarray(-np.ones(2 * n)))
-    G = jax.device_put(jnp.zeros((0, n)))
-    d = jax.device_put(jnp.zeros((0,)))
-    probs = []
-    for _ in range(K):
-        Q = jax.device_put(jnp.asarray(np.diag(1.0 + rng.random(n))))
-        c = jax.device_put(jnp.asarray(rng.standard_normal(n)))
-        probs.append((Q, c))
-
-    def solve(Q, c):
-        return _solve_jit(Q, c, A, b, G, d, spec=spec, kktsolver=kkt, opts=opts)
-
-    # compile + warm up
-    jax.block_until_ready(solve(*probs[0]))
-
-    # NOTE: on the tunneled axon backend, jax.block_until_ready does NOT
-    # reliably wait for execution — the only trustworthy sync is a
-    # device→host read. Time sequential solves, syncing one scalar each
-    # (the transfer is ~30ms of tunnel latency; subtracted below via the
-    # measured per-sync overhead on an empty op).
-    sync_probe = jax.jit(lambda x: x + 1)
-    np.asarray(sync_probe(jnp.float32(0)))
-    t0 = time.perf_counter()
-    for _ in range(8):
-        np.asarray(sync_probe(jnp.float32(0)))
-    sync_ms = (time.perf_counter() - t0) / 8
-
-    outs = []
-    t0 = time.perf_counter()
-    for Q, c in probs:
-        o = solve(Q, c)
-        np.asarray(o.Iter)  # scalar sync
-        outs.append(o)
-    t1 = time.perf_counter()
-    t1 -= K * sync_ms  # remove tunnel round-trip latency, not device time
-
-    iters = [int(o.Iter) for o in outs]
-    statuses = [int(o.status) for o in outs]
-    resid = max(
-        float(jnp.maximum(o.prFeas, jnp.maximum(o.duFeas, o.muFeas))) for o in outs
+    G = jnp.zeros((0, n))
+    d = jnp.zeros((0,))
+    Qs = jax.device_put(
+        jnp.asarray(np.stack([np.diag(1.0 + rng.random(n)) for _ in range(K)]))
     )
-    tol_ok = all(s == Status.OPTIMAL for s in statuses) and resid < 1e-6
+    cs = jax.device_put(jnp.asarray(rng.standard_normal((K, n))))
 
-    total_iters = sum(iters)
-    elapsed = t1 - t0
+    @jax.jit
+    def solve_all(Qs, cs):
+        def body(i, acc):
+            iters, resid, nopt = acc
+            st = ipm_solve(Qs[i], cs[i], A, b, G, d, spec, kkt, opts)
+            r = jnp.maximum(st.prFeas, jnp.maximum(st.duFeas, st.muFeas))
+            return (
+                iters + st.Iter,
+                jnp.maximum(resid, r),
+                nopt + jnp.where(st.status == Status.OPTIMAL, 0, 1),
+            )
+
+        return jax.lax.fori_loop(
+            0,
+            K,
+            body,
+            (jnp.int32(0), jnp.float64(0.0), jnp.int32(0)),
+        )
+
+    def sync(out):
+        return tuple(np.asarray(x) for x in out)
+
+    # warm-up / compile
+    iters, resid, nbad = sync(solve_all(Qs, cs))
+
+    # single dispatch+sync round-trip baseline (tunnel latency)
+    probe = jax.jit(lambda x: x + 1)
+    np.asarray(probe(jnp.float32(0)))
+    rts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(probe(jnp.float32(0)))
+        rts.append(time.perf_counter() - t0)
+    rt = float(np.median(rts))
+
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        iters, resid, nbad = sync(solve_all(Qs, cs))
+        best = min(best, time.perf_counter() - t0)
+    elapsed = max(best - rt, 1e-9)
+
+    total_iters = int(iters)
+    tol_ok = int(nbad) == 0 and float(resid) < 1e-6
     iters_per_s = total_iters / elapsed
     ms_per_iter = elapsed / total_iters * 1e3
 
     print(
-        f"# backend={jax.default_backend()} K={K} n={n} iters={iters} "
-        f"max_resid={resid:.2e} tol_ok={tol_ok} ms/iter={ms_per_iter:.3f}",
+        f"# backend={jax.default_backend()} K={K} n={n} total_iters={total_iters} "
+        f"max_resid={float(resid):.2e} tol_ok={tol_ok} ms/iter={ms_per_iter:.3f} "
+        f"(roundtrip {rt*1e3:.1f} ms subtracted)",
         file=sys.stderr,
     )
 

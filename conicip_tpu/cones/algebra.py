@@ -47,6 +47,8 @@ def _dot(a, b):
 
 
 def cone_prod(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    if spec.only_r:
+        return x * y
     o = jnp.zeros_like(x)
     if spec.nr:
         o = put_r(spec, o, take_r(spec, x) * take_r(spec, y))
@@ -84,6 +86,8 @@ def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
 
 
 def cone_div(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    if spec.only_r:
+        return x / y
     o = jnp.zeros_like(x)
     if spec.nr:
         o = put_r(spec, o, take_r(spec, x) / take_r(spec, y))

@@ -162,6 +162,8 @@ def cast(F: NTScaling, dtype) -> NTScaling:
 
 
 def _apply(spec: ConeSpec, F: NTScaling, x: jnp.ndarray, transpose_sdp: bool):
+    if spec.only_r:
+        return F.r_d * x
     o = jnp.zeros_like(x)
     if spec.nr:
         o = put_r(spec, o, F.r_d * take_r(spec, x))
@@ -196,6 +198,8 @@ def _apply_mat(spec: ConeSpec, F: NTScaling, A: jnp.ndarray, transpose_sdp: bool
     — replacing the reference's dense ``Matrix(inv(F))' * A``
     (kktsolvers.jl:32-33) with structure-exploiting batched matmuls.
     """
+    if spec.only_r:
+        return F.r_d[:, None] * A
     o = jnp.zeros_like(A)
     if spec.nr:
         o = put_rows_r(spec, o, F.r_d[:, None] * take_rows_r(spec, A))

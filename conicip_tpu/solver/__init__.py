@@ -59,6 +59,7 @@ def conic_ip(
     factor_dtype=None,
     dtype=None,
     mixedResiduals: Optional[bool] = None,
+    eliminateEqualities: Optional[bool] = None,
 ) -> Solution:
     """Interior point solver for
 
@@ -83,6 +84,24 @@ def conic_ip(
     G = _densify(G, dtype) if G is not None else jnp.zeros((0, n), dtype)
     d = _densify(d, dtype) if d is not None else jnp.zeros((0,), dtype)
 
+    if eliminateEqualities is None:
+        # The double-Schur equality path squares the f32 factorization's
+        # conditioning and stalls near convergence; the null-space transform
+        # (reduce.py) restores the robust p = 0 path. Full-precision
+        # factorizations keep the reference's direct saddle semantics.
+        eliminateEqualities = (
+            factor_dtype == jnp.float32 and G.shape[0] > 0 and kktsolver is None
+        )
+    if eliminateEqualities and G.shape[0] > 0:
+        return _solve_eliminated(
+            Q, c, A, b, cone_dims, G, d,
+            kktsolver=kktsolver, optTol=optTol, DTB=DTB, verbose=verbose,
+            maxRefinementSteps=maxRefinementSteps, maxIters=maxIters,
+            infeasTol=infeasTol, refinementThreshold=refinementThreshold,
+            factor_dtype=factor_dtype, dtype=dtype,
+            mixedResiduals=mixedResiduals,
+        )
+
     spec = ConeSpec(cone_dims)
     if kktsolver is None:
         kktsolver = _default_kktsolver(factor_dtype)
@@ -105,9 +124,97 @@ def conic_ip(
     st = _solve_jit(Q, c, A, b, G, d, spec=spec, kktsolver=kktsolver, opts=opts)
     st = jax.block_until_ready(st)
     sol = Solution.from_state(st)
+
+    # Robustness backstop: an f32 factorization stalls once kappa(M) ~ 1/mu
+    # exceeds ~1/eps_f32 (refinement stops contracting, ConicIP.jl's f64
+    # LAPACK never hits this). If the fast mode ran out of iterations while
+    # clearly *near* a solution, re-solve in full precision — rare, and
+    # correctness beats speed when it happens.
+    if (
+        factor_dtype == jnp.float32
+        and sol.status in ("Abandoned", "Error")
+        and np.isfinite(sol.prFeas)
+        and max(sol.prFeas, sol.duFeas, sol.muFeas) < 1e-2
+    ):
+        opts64 = IPMOptions(
+            optTol=optTol, DTB=DTB, verbose=verbose,
+            maxRefinementSteps=maxRefinementSteps, maxIters=maxIters,
+            cache_nestodd=cache_nestodd, infeasTol=infeasTol,
+            refinementThreshold=refinementThreshold, mixedResiduals=False,
+        )
+        st = _solve_jit(
+            Q, c, A, b, G, d, spec=spec,
+            kktsolver=_default_kktsolver(None), opts=opts64,
+        )
+        sol = Solution.from_state(jax.block_until_ready(st))
+
     if verbose:
         _exit_banner(sol.status)
     return sol
+
+
+def _solve_eliminated(
+    Q, c, A, b, cone_dims, G, d, *, kktsolver, optTol, DTB, verbose,
+    maxRefinementSteps, maxIters, infeasTol, refinementThreshold,
+    factor_dtype, dtype, mixedResiduals,
+) -> Solution:
+    """Solve with equalities removed by the null-space transform
+    (:mod:`conicip_tpu.reduce`), then recover the full-space solution."""
+    from ..reduce import eliminate_equalities
+
+    Qh, ch = np.asarray(Q), np.asarray(c)
+    Ah, bh = np.asarray(A), np.asarray(b)
+    Gh, dh = np.asarray(G), np.asarray(d)
+    red = eliminate_equalities(Qh, ch, Ah, bh, Gh, dh)
+    p = Gh.shape[0]
+    n = ch.shape[0]
+    if not red.consistent:
+        # Inconsistent equalities (preprocessor.jl:61-64 semantics)
+        return Solution(
+            y=np.full(n, np.nan), w=np.full(p, np.nan),
+            v=np.full(Ah.shape[0], np.nan), status="Infeasible", Iter=0,
+            Mu=np.nan, prFeas=np.nan, duFeas=np.nan, muFeas=np.nan,
+            pobj=np.nan, dobj=np.nan,
+        )
+
+    sub = conic_ip(
+        red.Q, red.c, red.A, red.b, cone_dims,
+        kktsolver=kktsolver, optTol=optTol, DTB=DTB, verbose=verbose,
+        maxRefinementSteps=maxRefinementSteps, maxIters=maxIters,
+        infeasTol=infeasTol, refinementThreshold=refinementThreshold,
+        factor_dtype=factor_dtype, dtype=dtype, mixedResiduals=mixedResiduals,
+        eliminateEqualities=False,
+    )
+
+    v = sub.v
+    if sub.status == "Unbounded":
+        # Reduced ray x: y = Zx is a full-space ray (Gy = 0 by construction)
+        y = red.Z @ sub.y
+        w = np.full(p, np.nan)
+        return Solution(y=y, w=w, v=sub.v, status=sub.status, Iter=sub.Iter,
+                        Mu=sub.Mu, prFeas=sub.prFeas, duFeas=sub.duFeas,
+                        muFeas=sub.muFeas, pobj=sub.pobj, dobj=sub.dobj)
+    if sub.status == "Infeasible":
+        # Farkas pair: extend v with least-squares w solving Gᵀw = Aᵀv.
+        # The reduced normalization −b̃ᵀv equals the full −(dᵀw − bᵀv).
+        w = red.recover_w_cert(v)
+        return Solution(y=np.full(n, np.nan), w=w, v=v, status=sub.status,
+                        Iter=sub.Iter, Mu=sub.Mu, prFeas=sub.prFeas,
+                        duFeas=sub.duFeas, muFeas=sub.muFeas,
+                        pobj=sub.pobj, dobj=sub.dobj)
+
+    y = red.recover_y(sub.y)
+    w = red.recover_w(y, v)
+    # Full-space dual residual with the recovered w (one-time host f64)
+    rDu = np.linalg.norm(Qh @ y + Gh.T @ w - (Ah.T @ v if Ah.size else 0.0) - ch)
+    rDu /= 1.0 + np.linalg.norm(ch)
+    cty = float(ch @ y)
+    pobj = 0.5 * float(y @ (Qh @ y)) - cty
+    return Solution(
+        y=y, w=w, v=v, status=sub.status, Iter=sub.Iter, Mu=sub.Mu,
+        prFeas=sub.prFeas, duFeas=float(rDu), muFeas=sub.muFeas,
+        pobj=pobj, dobj=pobj - (sub.pobj - sub.dobj),
+    )
 
 
 def _exit_banner(status: str) -> None:

@@ -161,6 +161,7 @@ def ipm_solve(
     if mixed:
         f32 = jnp.float32
         Q32, GA32, GAt32 = Q.astype(f32), GA.astype(f32), GAt.astype(f32)
+        eps32 = jnp.asarray(jnp.finfo(jnp.float32).eps, dtype)
 
     def products_full(y, w, v):
         wv = jnp.concatenate([w, v])
@@ -297,33 +298,40 @@ def ipm_solve(
     sw = opts.residualSwitch
 
     def body(carry):
-        z, sol, optBest, k, rnorm_prev, rstep_prev = carry
+        z, sol, optBest, k, rnorm_prev, rstep_prev, P, drift = carry
 
         F = sc.nt_scaling(spec, z.v, z.s)
         FinvT = sc.nt_inv_adjoint(spec, F)
         lam = sc.apply(spec, F, z.v)  # scaled point: = F⁻ᵀ z.s too
 
-        # residuals of the nonlinear KKT system (ConicIP.jl:746-757)
-        P = products_fast(z.y, z.w, z.v)
-        R = residual_block(P, z, lam)
+        # Residuals of the nonlinear KKT system (ConicIP.jl:746-757).
+        # Mixed mode carries the three product vectors across iterations,
+        # updating them incrementally after each step (P ← P − α·K·Δz, a
+        # few f32 mat-vecs) with `drift` bounding the accumulated error in
+        # relative-residual units. The emulated-f64 recompute — ~4 ms on
+        # v5e, dominated by XLA re-slicing the constant operands inside the
+        # loop — then fires only when a tolerance decision is near AND the
+        # drift could affect it: typically once per solve.
         if mixed:
-            # Near any tolerance the f32 estimates are noise-limited —
-            # recompute the products in full precision and redo the (cheap,
-            # vector-only) residual block. Decisions below only ever see
-            # full-precision values: the f32 noise floor (~1e-7 relative)
-            # sits far below the switch point of `residualSwitch` x tol.
-            trigger = (
-                (R.rmax < sw * opts.optTol)
-                | (R.p_infeas < sw * opts.infeas_tol)
-                | (R.d_infeas < sw * opts.infeas_tol)
-                | ~jnp.isfinite(R.rmax)
+            near = (
+                (R_est := residual_block(P, z, lam)).rmax < sw * opts.optTol
             )
-            P = jax.lax.cond(
-                trigger,
-                lambda zz: products_full(zz.y, zz.w, zz.v),
-                lambda zz: P,
-                z,
+            near = (
+                near
+                | (R_est.p_infeas < sw * opts.infeas_tol)
+                | (R_est.d_infeas < sw * opts.infeas_tol)
+                | ~jnp.isfinite(R_est.rmax)
             )
+            fire = near & (drift > 0.05 * opts.optTol)
+
+            def _fire(zz):
+                return products_full(zz.y, zz.w, zz.v)
+
+            P = jax.lax.cond(fire, _fire, lambda zz: P, z)
+            drift = jnp.where(fire, 0.0, drift)
+            R = residual_block(P, z, lam)
+        else:
+            P = products_full(z.y, z.w, z.v)
             R = residual_block(P, z, lam)
 
         # best-iterate tracking (ConicIP.jl:768-773)
@@ -382,8 +390,8 @@ def ipm_solve(
             jax.debug.callback(
                 _print_row,
                 k,
-                R.rDu,
                 R.rPr,
+                R.rDu,
                 R.rCp,
                 R.pobj,
                 R.dobj,
@@ -470,25 +478,61 @@ def ipm_solve(
                 jnp.minimum(ca.maxstep(spec, z.v, dz.v * inv_dtb), 1.0),
                 jnp.minimum(ca.maxstep(spec, z.s, dz.s * inv_dtb), 1.0),
             )
-            return z - dz.scale(alpha), rnorm, rstep + jnp.asarray(1, jnp.int32)
+            # products of the taken step — used to update the carried P
+            # (mixed mode only; otherwise P is recomputed fresh each body)
+            if mixed:
+                Pd = products_fast(dz.y, dz.w, dz.v)
+            else:
+                zero = jnp.zeros_like
+                Pd = _Products(zero(P.Qy), zero(P.GAy), zero(P.GAtwv))
+            return (
+                z - dz.scale(alpha),
+                rnorm,
+                rstep + jnp.asarray(1, jnp.int32),
+                Pd,
+                alpha,
+            )
 
-        z_new, rnorm, rstep = jax.lax.cond(
-            status == Status.RUNNING,
-            take_step,
-            lambda z: (z, jnp.asarray(0.0, dtype), jnp.asarray(0, jnp.int32)),
-            z,
+        def no_step(z):
+            zero = jnp.zeros_like
+            return (
+                z,
+                jnp.asarray(0.0, dtype),
+                jnp.asarray(0, jnp.int32),
+                _Products(zero(P.Qy), zero(P.GAy), zero(P.GAtwv)),
+                jnp.asarray(0.0, dtype),
+            )
+
+        z_new, rnorm, rstep, Pd, alpha = jax.lax.cond(
+            status == Status.RUNNING, take_step, no_step, z
         )
 
+        # Incremental product update + drift bound (mixed mode).
+        P = _Products(
+            P.Qy - alpha * Pd.Qy,
+            P.GAy - alpha * Pd.GAy,
+            P.GAtwv - alpha * Pd.GAtwv,
+        )
+        if mixed:
+            drift = drift + 10.0 * eps32 * alpha * (
+                (jnp.linalg.norm(Pd.Qy) + jnp.linalg.norm(Pd.GAtwv))
+                / (1.0 + normc)
+                + _normsafe(Pd.GAy) / (1.0 + normb)
+            )
+
         sol = replace(sol, status=status)
-        return z_new, sol, optBest, k + 1, rnorm, rstep
+        return z_new, sol, optBest, k + 1, rnorm, rstep, P, drift
 
     def cond(carry):
-        _, sol, _, k, _, _ = carry
+        _, sol, _, k, _, _, _, _ = carry
         return (sol.status == Status.RUNNING) & (k <= opts.maxIters)
 
     if opts.verbose:
         jax.debug.callback(_print_banner, ordered=True)
 
+    # Initial carried products: fast estimates with an infinite drift so the
+    # first near-tolerance decision always fires a certified recompute.
+    P0 = products_fast(z0.y, z0.w, z0.v)
     carry0 = (
         z0,
         sol0,
@@ -496,8 +540,10 @@ def ipm_solve(
         jnp.asarray(1, jnp.int32),
         jnp.asarray(0.0, dtype),
         jnp.asarray(0, jnp.int32),
+        P0,
+        inf,
     )
-    _, sol, _, _, _, _ = jax.lax.while_loop(cond, body, carry0)
+    _, sol, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, carry0)
 
     # loop exhausted without a status → Abandoned (ConicIP.jl:936)
     sol = replace(
@@ -527,12 +573,12 @@ def _print_banner():
     )
 
 
-def _print_row(k, rDu, rPr, rCp, pobj, dobj, p_inf, d_inf, rstep, rnorm):
+def _print_row(k, rPr, rDu, rCp, pobj, dobj, p_inf, d_inf, rstep, rnorm):
     hot = float(rnorm) > 0.001
     pre = "\x1b[1m\x1b[31m" if hot else ""
     post = "\x1b[0m" if hot else ""
     print(
-        f"{pre} {int(k):6d}  │  {float(rDu):<8.1e}  {float(rPr):<8.1e}  "
+        f"{pre} {int(k):6d}  │  {float(rPr):<8.1e}  {float(rDu):<8.1e}  "
         f"{float(rCp):<8.1e} │  {float(pobj):< 8.1e}  {float(dobj):< 8.1e}  │  "
         f"{float(p_inf):<8.1e}  {float(d_inf):<8.1e} │  {int(rstep)}{post}"
     )
