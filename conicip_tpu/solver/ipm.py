@@ -162,8 +162,19 @@ def ipm_solve(
         f32 = jnp.float32
         Q32, GA32, GAt32 = Q.astype(f32), GA.astype(f32), GAt.astype(f32)
         eps32 = jnp.asarray(jnp.finfo(jnp.float32).eps, dtype)
+        # Sliced operators for certified residual evaluations (~1e-11 of
+        # the operand scale at ~f32 cost): XLA's emulated-f64 matmul was
+        # measured at ~4 ms per evaluation here because it re-slices the
+        # constant operands inside the loop — PreciseMatvec slices once at
+        # setup (ops/precise.py).
+        from ..ops.precise import PreciseMatvec
+
+        Qp, GAp, GAtp = PreciseMatvec(Q), PreciseMatvec(GA), PreciseMatvec(GAt)
 
     def products_full(y, w, v):
+        if mixed:
+            wv = jnp.concatenate([w, v])
+            return _Products(Qp(y), GAp(y), GAtp(wv))
         wv = jnp.concatenate([w, v])
         return _Products(
             jnp.matmul(Q, y, precision=_HI),
