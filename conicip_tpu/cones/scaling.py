@@ -54,6 +54,10 @@ class SocScaling:
 @dataclass(frozen=True)
 class SdpScaling:
     S: jnp.ndarray  # (k, d, d): F x = vecm(Sᵀ mat(x) S)
+    # S⁻¹, carried alongside: available in closed form at construction
+    # (R⁻¹ = diag(1/√λ)·Uᵀ·Lzᵀ), and jnp.linalg.inv (f64 LU) does not
+    # compile on the v5e toolchain anyway.
+    Sinv: jnp.ndarray  # (k, d, d)
 
 
 @jax.tree_util.register_dataclass
@@ -66,6 +70,16 @@ class NTScaling:
 
 def _dot(a, b):
     return jnp.sum(a * b, axis=-1)
+
+
+def _use_svd() -> bool:
+    """jnp.linalg.svd SIGABRTs the v5e TPU compiler (measured); the SDP NT
+    scaling then uses the mathematically identical eigh form. SVD (slightly
+    better conditioned: κ(M) vs κ(M)² of MMᵀ) is kept where it works."""
+    try:
+        return jax.default_backend() not in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return True
 
 
 def _qf(x):
@@ -99,14 +113,29 @@ def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray) -> NTScaling:
         Z = mat(take_group(g, z))  # (k, d, d)
         Sm = mat(take_group(g, s))
         Lz = jnp.linalg.cholesky(Z)
-        Ls = jnp.linalg.cholesky(Sm)
-        U, lam, _ = jnp.linalg.svd(jnp.swapaxes(Lz, -1, -2) @ Ls)
+        LzT = jnp.swapaxes(Lz, -1, -2)
+        if _use_svd():
+            Ls = jnp.linalg.cholesky(Sm)
+            U, lam, _ = jnp.linalg.svd(LzT @ Ls)
+        else:
+            # eigh form of the same factorization: for M = LzᵀLs,
+            # M Mᵀ = Lzᵀ S Lz = U Λ² Uᵀ gives exactly svd(M)'s U and Λ.
+            # (jnp.linalg.svd crashes the TPU compiler; eigh lowers fine.)
+            T = LzT @ Sm @ Lz
+            T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
+            lam2, U = jnp.linalg.eigh(T)
+            lam2 = jnp.maximum(lam2, jnp.finfo(z.dtype).tiny)
+            # eigh sorts ascending; svd convention is descending — order
+            # does not matter for R (any orthogonal mix of equal columns
+            # gives the same scaling), so keep eigh's order.
+            lam = jnp.sqrt(lam2)
         # R = Lz⁻ᵀ U diag(sqrt(lam))  (nestod_sdc, ConicIP.jl:196-210)
-        X = jax.scipy.linalg.solve_triangular(
-            jnp.swapaxes(Lz, -1, -2), U, lower=False
-        )
-        R = X * jnp.sqrt(lam)[..., None, :]
-        sdp.append(SdpScaling(S=R))
+        X = jax.scipy.linalg.solve_triangular(LzT, U, lower=False)
+        sl = jnp.sqrt(lam)
+        R = X * sl[..., None, :]
+        # closed-form inverse: R⁻¹ = diag(1/√λ) Uᵀ Lzᵀ
+        Rinv = (jnp.swapaxes(U, -1, -2) @ LzT) / sl[..., :, None]
+        sdp.append(SdpScaling(S=R, Sinv=Rinv))
     return NTScaling(r_d=r_d, soc=tuple(soc), sdp=tuple(sdp))
 
 
@@ -125,7 +154,10 @@ def nt_identity(spec: ConeSpec, dtype=jnp.float64) -> NTScaling:
         SdpScaling(
             S=jnp.broadcast_to(
                 jnp.eye(g.order, dtype=dtype), (g.count, g.order, g.order)
-            )
+            ),
+            Sinv=jnp.broadcast_to(
+                jnp.eye(g.order, dtype=dtype), (g.count, g.order, g.order)
+            ),
         )
         for g in spec.sdp_groups
     )
@@ -145,8 +177,13 @@ def nt_inv_adjoint(spec: ConeSpec, F: NTScaling) -> NTScaling:
         soc.append(SocScaling(d=dinv, u=uh, alpha=-sc.alpha / denom))
     sdp = []
     for sd in F.sdp:
-        Sinv_t = jnp.swapaxes(jnp.linalg.inv(sd.S), -1, -2)
-        sdp.append(SdpScaling(S=Sinv_t))
+        # F⁻ᵀ maps S → S⁻ᵀ; the pair (S, S⁻¹) just swaps (+transpose)
+        sdp.append(
+            SdpScaling(
+                S=jnp.swapaxes(sd.Sinv, -1, -2),
+                Sinv=jnp.swapaxes(sd.S, -1, -2),
+            )
+        )
     return NTScaling(r_d=r_d, soc=tuple(soc), sdp=tuple(sdp))
 
 

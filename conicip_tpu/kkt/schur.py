@@ -82,8 +82,18 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
             jnp.maximum(jnp.diagonal(Msym), jnp.finfo(fd).tiny)
         )
         Ms = Msym * dscale[:, None] * dscale[None, :]
-        Ms = Ms + ridge * jnp.eye(k, dtype=fd)
-        L = cholesky(Ms)
+        Ik = jnp.eye(k, dtype=fd)
+        L = cholesky(Ms + ridge * Ik)
+        # Escalating-ridge retries: SOC rank-1 scaling terms span ~16
+        # decades near convergence and their f32 assembly rounding can
+        # leave Ms indefinite beyond the base ridge — a NaN factor would
+        # otherwise poison the step. Refinement absorbs the extra ridge.
+        for boost in (1e3, 1e6):
+            L = jax.lax.cond(
+                jnp.all(jnp.isfinite(L)),
+                lambda L=L: L,
+                lambda boost=boost: cholesky(Ms + (boost * ridge) * Ik),
+            )
         # One-time explicit triangular inverse: every subsequent back-solve
         # becomes two GEMVs (see module docstring for the cost model).
         Linv = solve_triangular(L, jnp.eye(k, dtype=fd), lower=True)

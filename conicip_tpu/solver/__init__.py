@@ -29,6 +29,11 @@ def _solve_jit(Q, c, A, b, G, d, *, spec, kktsolver, opts):
     return ipm_solve(Q, c, A, b, G, d, spec, kktsolver, opts)
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "kktsolver", "opts"))
+def _solve_warm_jit(Q, c, A, b, G, d, warm, *, spec, kktsolver, opts):
+    return ipm_solve(Q, c, A, b, G, d, spec, kktsolver, opts, warm=warm)
+
+
 @functools.lru_cache(maxsize=None)
 def _default_kktsolver(factor_dtype):
     from ..kkt import kktsolver_schur
@@ -142,10 +147,33 @@ def conic_ip(
             cache_nestodd=cache_nestodd, infeasTol=infeasTol,
             refinementThreshold=refinementThreshold, mixedResiduals=False,
         )
-        st = _solve_jit(
-            Q, c, A, b, G, d, spec=spec,
-            kktsolver=_default_kktsolver(None), opts=opts64,
-        )
+        # Warm-start the full-precision pass from the best f32 iterate
+        # (strictly interior by construction) — typically 2-4 iterations
+        # instead of a cold ~10, which matters when every f64
+        # factorization costs ~70 ms on TPU.
+        yb = np.asarray(sol.y)
+        vb = np.asarray(sol.v)
+        wb = np.asarray(sol.w)
+        sb = np.asarray(A @ jnp.asarray(yb) - b)
+        if (
+            np.all(np.isfinite(yb))
+            and np.all(np.isfinite(vb))
+            and np.all(np.isfinite(sb))
+            and np.all(np.isfinite(wb))
+        ):
+            warm = Vec4(
+                jnp.asarray(yb), jnp.asarray(wb), jnp.asarray(vb),
+                jnp.asarray(sb),
+            )
+            st = _solve_warm_jit(
+                Q, c, A, b, G, d, warm, spec=spec,
+                kktsolver=_default_kktsolver(None), opts=opts64,
+            )
+        else:
+            st = _solve_jit(
+                Q, c, A, b, G, d, spec=spec,
+                kktsolver=_default_kktsolver(None), opts=opts64,
+            )
         sol = Solution.from_state(jax.block_until_ready(st))
 
     if verbose:

@@ -124,6 +124,7 @@ def ipm_solve(
     spec: ConeSpec,
     kktsolver: Callable,
     opts: IPMOptions,
+    warm: Optional[Vec4] = None,
 ) -> SolState:
     n = c.shape[0]
     m = A.shape[0]
@@ -273,11 +274,22 @@ def ipm_solve(
 
         return solve4
 
-    # ── Initial point (ConicIP.jl:700-713): one KKT solve at F = I, then
-    #    shift v, s strictly inside the cone.
-    Fi = sc.nt_identity(spec, dtype)
-    solve3_init = solve3x3gen(Fi, Fi)
-    z0 = make_solve4(e, Fi, Fi, solve3_init)(Vec4(c, d, b, jnp.zeros(m, dtype)))
+    # ── Initial point (ConicIP.jl:700-713): one KKT solve at F = I — or a
+    #    warm start from a caller-provided iterate — then shift v, s
+    #    strictly inside the cone.
+    if warm is None:
+        Fi = sc.nt_identity(spec, dtype)
+        solve3_init = solve3x3gen(Fi, Fi)
+        z0 = make_solve4(e, Fi, Fi, solve3_init)(
+            Vec4(c, d, b, jnp.zeros(m, dtype))
+        )
+    else:
+        z0 = Vec4(
+            warm.y.astype(dtype),
+            warm.w.astype(dtype),
+            warm.v.astype(dtype),
+            warm.s.astype(dtype),
+        )
     a_v = ca.maxstep_to_cone(spec, z0.v)
     a_s = ca.maxstep_to_cone(spec, z0.s)
     z0 = Vec4(z0.y, z0.w, z0.v - a_v * e, z0.s - a_s * e)
@@ -395,6 +407,18 @@ def ipm_solve(
             & jnp.isfinite(R.rCp)
         )
         status = jnp.where((status == Status.RUNNING) & bad, Status.ERROR, status)
+        if mixed:
+            # f32-factorization exhaustion: once the iterate has been near
+            # to tolerance, a later 100x residual blow-up means the factor
+            # can no longer produce descent — wandering to maxIters would
+            # only waste time. Stop with the best iterate; the caller's
+            # full-precision backstop finishes the job (solver/__init__.py).
+            exhausted = (optBest < sw * opts.optTol) & (
+                R.rmax > 100.0 * optBest
+            )
+            status = jnp.where(
+                (status == Status.RUNNING) & exhausted, Status.ABANDONED, status
+            )
         status = status.astype(jnp.int32)
 
         if opts.verbose:
@@ -488,6 +512,21 @@ def ipm_solve(
             alpha = jnp.minimum(
                 jnp.minimum(ca.maxstep(spec, z.v, dz.v * inv_dtb), 1.0),
                 jnp.minimum(ca.maxstep(spec, z.s, dz.s * inv_dtb), 1.0),
+            )
+            # A non-finite direction (e.g. a failed f32 factorization)
+            # must not corrupt the iterate: freeze instead, so the solve
+            # ends Abandoned with the best iterate intact rather than
+            # Error-ing out (the full-precision backstop then takes over).
+            dz_ok = (
+                jnp.all(jnp.isfinite(dz.y))
+                & jnp.all(jnp.isfinite(dz.v))
+                & jnp.all(jnp.isfinite(dz.s))
+                & (jnp.all(jnp.isfinite(dz.w)) if p else True)
+            )
+            alpha = jnp.where(dz_ok & jnp.isfinite(alpha), alpha, 0.0)
+            # 0 * NaN is still NaN — scrub the direction too
+            dz = jax.tree_util.tree_map(
+                lambda u: jnp.where(dz_ok, u, jnp.zeros_like(u)), dz
             )
             # products of the taken step — used to update the carried P
             # (mixed mode only; otherwise P is recomputed fresh each body)

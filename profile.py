@@ -39,10 +39,11 @@ def main() -> None:
     import conicip_tpu  # noqa: F401
     from conicip_tpu.cones.spec import ConeSpec
     from conicip_tpu.kkt import kktsolver_lu, kktsolver_qr, kktsolver_schur
+    from conicip_tpu.solver import (_default_kktsolver, _solve_jit,
+                                    _solve_warm_jit)
     from conicip_tpu.models import ALL_GENERATORS
-    from conicip_tpu.solver import _default_kktsolver, _solve_jit
     from conicip_tpu.solver.ipm import IPMOptions
-    from conicip_tpu.solver.state import STATUS_NAMES
+    from conicip_tpu.solver.state import STATUS_NAMES, Status, Vec4
 
     factor_dtype = jnp.float32 if args.factor_dtype == "float32" else None
     backends = {}
@@ -57,8 +58,27 @@ def main() -> None:
             raise SystemExit(f"unknown backend {name}")
 
     opts = IPMOptions(optTol=1e-6, mixedResiduals=args.factor_dtype == "float32")
+    opts64 = IPMOptions(optTol=1e-6)
+
+    def solve_like_conic_ip(staged_p, spec, kkt):
+        """Mirror conic_ip's device path: fast solve + warm full-precision
+        backstop when the f32 factorization is exhausted near a solution
+        (solver/__init__.py). Returns the final SolState."""
+        st = _solve_jit(*staged_p, spec=spec, kktsolver=kkt, opts=opts)
+        status = int(st.status)
+        resid = float(jnp.maximum(st.prFeas, jnp.maximum(st.duFeas, st.muFeas)))
+        if status in (Status.ABANDONED, Status.ERROR) and resid < 1e-2:
+            Q, c, A, b, G, d = staged_p
+            warm = Vec4(st.y, st.w, st.v, A @ st.y - b)
+            st = _solve_warm_jit(Q, c, A, b, G, d, warm, spec=spec,
+                                 kktsolver=_default_kktsolver(None),
+                                 opts=opts64)
+        return st
     print(f"# backend={jax.default_backend()} trials={args.trials} "
           f"factor_dtype={args.factor_dtype}", file=sys.stderr)
+    print("# NOTE: absolute times include per-solve host<->device tunnel "
+          "round trips (~0.1-0.3 s on axon); bench.py chains solves inside "
+          "one jit for tunnel-proof numbers", file=sys.stderr)
 
     results = []
     for gen in ALL_GENERATORS:
@@ -80,14 +100,22 @@ def main() -> None:
         for bname, kkt in backends.items():
             times, iters, stat = [], [], []
             try:
-                # warmup/compile on instance 0
-                st = _solve_jit(*staged[0], spec=spec, kktsolver=kkt, opts=opts)
-                jax.block_until_ready(st)
+                # warmup/compile on instance 0 — including the warm
+                # full-precision backstop path, which otherwise compiles
+                # inside a timed trial when only some instances trigger it
+                st = _solve_jit(*staged[0], spec=spec, kktsolver=kkt,
+                                opts=opts)
+                Q0, c0, A0, b0, G0, d0 = staged[0]
+                warm0 = Vec4(st.y, st.w, st.v, A0 @ st.y - b0)
+                stw = _solve_warm_jit(Q0, c0, A0, b0, G0, d0, warm0,
+                                      spec=spec,
+                                      kktsolver=_default_kktsolver(None),
+                                      opts=opts64)
+                np.asarray(st.Iter), np.asarray(stw.Iter)
                 for t in range(1, args.trials + 1):
                     t0 = time.perf_counter()
-                    st = _solve_jit(*staged[t], spec=spec, kktsolver=kkt,
-                                    opts=opts)
-                    jax.block_until_ready(st)
+                    st = solve_like_conic_ip(staged[t], spec, kkt)
+                    np.asarray(st.Iter)  # block_until_ready is unreliable
                     times.append(time.perf_counter() - t0)
                     iters.append(int(st.Iter))
                     stat.append(STATUS_NAMES[int(st.status)])
