@@ -38,7 +38,19 @@ def main() -> None:
     K = 64
     spec = ConeSpec([("R", 2 * n)])
     opts = IPMOptions(optTol=1e-6, mixedResiduals=True)
-    kkt = _default_kktsolver(jnp.float32)
+    # Two backends, mirroring the reference's own benchmark where the
+    # headline 950 iters/s comes from its structure-exploiting sparse-LU
+    # backend on this same box QP: the dense MXU Schur path (general) and
+    # kktsolver_diag (separable bound constraints -> diagonal Schur matrix,
+    # the TPU-native analogue of what sparse LU exploits).
+    import functools
+
+    from conicip_tpu.kkt import kktsolver_diag
+
+    backends = {
+        "schur_dense": _default_kktsolver(jnp.float32),
+        "diag": functools.partial(kktsolver_diag, factor_dtype=jnp.float32),
+    }
 
     rng = np.random.default_rng(0)
     A = jax.device_put(jnp.asarray(np.vstack([np.eye(n), -np.eye(n)])))
@@ -50,30 +62,27 @@ def main() -> None:
     )
     cs = jax.device_put(jnp.asarray(rng.standard_normal((K, n))))
 
-    @jax.jit
-    def solve_all(Qs, cs):
-        def body(i, acc):
-            iters, resid, nopt = acc
-            st = ipm_solve(Qs[i], cs[i], A, b, G, d, spec, kkt, opts)
-            r = jnp.maximum(st.prFeas, jnp.maximum(st.duFeas, st.muFeas))
-            return (
-                iters + st.Iter,
-                jnp.maximum(resid, r),
-                nopt + jnp.where(st.status == Status.OPTIMAL, 0, 1),
+    def make_solve_all(kkt):
+        @jax.jit
+        def solve_all(Qs, cs):
+            def body(i, acc):
+                iters, resid, nopt = acc
+                st = ipm_solve(Qs[i], cs[i], A, b, G, d, spec, kkt, opts)
+                r = jnp.maximum(st.prFeas, jnp.maximum(st.duFeas, st.muFeas))
+                return (
+                    iters + st.Iter,
+                    jnp.maximum(resid, r),
+                    nopt + jnp.where(st.status == Status.OPTIMAL, 0, 1),
+                )
+
+            return jax.lax.fori_loop(
+                0, K, body, (jnp.int32(0), jnp.float64(0.0), jnp.int32(0))
             )
 
-        return jax.lax.fori_loop(
-            0,
-            K,
-            body,
-            (jnp.int32(0), jnp.float64(0.0), jnp.int32(0)),
-        )
+        return solve_all
 
     def sync(out):
         return tuple(np.asarray(x) for x in out)
-
-    # warm-up / compile
-    iters, resid, nbad = sync(solve_all(Qs, cs))
 
     # single dispatch+sync round-trip baseline (tunnel latency)
     probe = jax.jit(lambda x: x + 1)
@@ -85,26 +94,29 @@ def main() -> None:
         rts.append(time.perf_counter() - t0)
     rt = float(np.median(rts))
 
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        iters, resid, nbad = sync(solve_all(Qs, cs))
-        best = min(best, time.perf_counter() - t0)
-    elapsed = max(best - rt, 1e-9)
-
-    total_iters = int(iters)
-    tol_ok = int(nbad) == 0 and float(resid) < 1e-6
-    iters_per_s = total_iters / elapsed
-    ms_per_iter = elapsed / total_iters * 1e3
-
-    print(
-        f"# backend={jax.default_backend()} K={K} n={n} total_iters={total_iters} "
-        f"max_resid={float(resid):.2e} tol_ok={tol_ok} ms/iter={ms_per_iter:.3f} "
-        f"(roundtrip {rt*1e3:.1f} ms subtracted)",
-        file=sys.stderr,
-    )
+    results = {}
+    for bname, kkt in backends.items():
+        solve_all = make_solve_all(kkt)
+        iters, resid, nbad = sync(solve_all(Qs, cs))  # warm-up / compile
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            iters, resid, nbad = sync(solve_all(Qs, cs))
+            best = min(best, time.perf_counter() - t0)
+        elapsed = max(best - rt, 1e-9)
+        total_iters = int(iters)
+        tol_ok = int(nbad) == 0 and float(resid) < 1e-6
+        results[bname] = (total_iters / elapsed, tol_ok)
+        print(
+            f"# backend={jax.default_backend()} kkt={bname} K={K} n={n} "
+            f"total_iters={total_iters} max_resid={float(resid):.2e} "
+            f"tol_ok={tol_ok} ms/iter={elapsed/total_iters*1e3:.3f} "
+            f"(roundtrip {rt*1e3:.1f} ms subtracted)",
+            file=sys.stderr,
+        )
 
     baseline_iters_per_s = 950.0  # BASELINE.md derived headline
+    iters_per_s, tol_ok = max(results.values())
     value = iters_per_s if tol_ok else 0.0
     print(
         json.dumps(

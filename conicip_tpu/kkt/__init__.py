@@ -33,12 +33,15 @@ Solvers provided:
 - :func:`pivot` — adapter wrapping any 2x2 solver into the 3x3 interface.
 """
 
+from .diag import kktsolver_diag, separable
 from .pivot import pivot
 from .schur import kktsolver_2x2, kktsolver_schur
 from .qr import kktsolver_qr
 from .lu import kktsolver_lu
 
 __all__ = [
+    "kktsolver_diag",
+    "separable",
     "pivot",
     "kktsolver_2x2",
     "kktsolver_schur",
