@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Scaling analysis over a device mesh.
+
+The north-star asks for iterations/s scaling at 1 chip / 1 host / N hosts
+with >=80% weak-scaling efficiency. This environment exposes ONE physical
+TPU chip, so wall-clock multi-device scaling cannot be measured honestly:
+virtual CPU devices (xla_force_host_platform_device_count) all share the
+same physical cores, and their "weak scaling" just measures
+oversubscription. What CAN be established rigorously here:
+
+1. **Collective census of the compiled program.** The dp-sharded batched
+   solve must compile to a per-device program with ZERO cross-device
+   collectives (independent problems, batch axis sharded): then real-chip
+   weak scaling is communication-free by construction and efficiency is
+   bounded only by per-device compute, which is identical across devices.
+   This script compiles the sharded program for 1..8 devices and counts
+   all-reduce / all-gather / reduce-scatter / collective-permute ops in
+   the optimized HLO.
+2. **The tp path's collective budget.** kktsolver_schur_tp reduces
+   partial Gram matrices with one psum per refactorization; the census
+   reports exactly how many collectives one IP iteration issues and on
+   what operand sizes — the quantity that determines ICI overhead.
+3. Wall-clock numbers on the oversubscribed virtual mesh are printed for
+   completeness but are NOT a scaling claim.
+
+Usage: [XLA_FLAGS=...] python tools/scaling_report.py [--per-device 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# must be set before jax import
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-device", type=int, default=4)
+    ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--json", type=str, default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    import conicip_tpu  # noqa: F401
+    from conicip_tpu.cones.spec import ConeSpec
+    from conicip_tpu.parallel import make_mesh
+    from conicip_tpu.solver import _default_kktsolver
+    from conicip_tpu.solver.ipm import IPMOptions, ipm_solve
+
+    ndev_avail = len(jax.devices())
+    n = args.n
+    spec = ConeSpec([("R", 2 * n)])
+    opts = IPMOptions(optTol=1e-6, maxIters=50)
+    kkt = _default_kktsolver(None)
+    rng = np.random.default_rng(0)
+
+    A1 = np.vstack([np.eye(n), -np.eye(n)])
+    b1 = -np.ones(2 * n)
+
+    def run(ndev: int):
+        batch = args.per_device * ndev
+        mesh = make_mesh((ndev,), ("dp",), devices=jax.devices()[:ndev])
+        shard = NamedSharding(mesh, P("dp"))
+        Q = jax.device_put(
+            jnp.asarray(
+                np.stack([np.diag(1.0 + rng.random(n)) for _ in range(batch)])
+            ),
+            shard,
+        )
+        c = jax.device_put(jnp.asarray(rng.standard_normal((batch, n))), shard)
+        A = jax.device_put(
+            jnp.asarray(np.broadcast_to(A1, (batch,) + A1.shape).copy()), shard
+        )
+        b = jax.device_put(
+            jnp.asarray(np.broadcast_to(b1, (batch,) + b1.shape).copy()), shard
+        )
+        G = jax.device_put(jnp.zeros((batch, 0, n)), shard)
+        d = jax.device_put(jnp.zeros((batch, 0)), shard)
+
+        f = jax.jit(
+            jax.vmap(
+                lambda Q, c, A, b, G, d: ipm_solve(
+                    Q, c, A, b, G, d, spec, kkt, opts
+                )
+            )
+        )
+        r = f(Q, c, A, b, G, d)
+        np.asarray(r.Iter)  # compile+run
+        best = np.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = f(Q, c, A, b, G, d)
+            np.asarray(r.Iter)
+            best = min(best, time.perf_counter() - t0)
+        iters = int(np.asarray(r.Iter).sum())
+        ok = bool(np.all(np.asarray(r.status) == 1))
+        return best, iters, ok, batch
+
+    import re
+
+    COLLECTIVES = re.compile(
+        r"\b(all-reduce|all-gather|reduce-scatter|collective-permute"
+        r"|all-to-all)\b"
+    )
+
+    def collective_census(ndev: int):
+        """Compile the dp-sharded solve and count collectives in the HLO."""
+        batch = args.per_device * ndev
+        mesh = make_mesh((ndev,), ("dp",), devices=jax.devices()[:ndev])
+        shard = NamedSharding(mesh, P("dp"))
+        shapes = [
+            jax.ShapeDtypeStruct((batch, n, n), jnp.float64, sharding=shard),
+            jax.ShapeDtypeStruct((batch, n), jnp.float64, sharding=shard),
+            jax.ShapeDtypeStruct((batch, 2 * n, n), jnp.float64, sharding=shard),
+            jax.ShapeDtypeStruct((batch, 2 * n), jnp.float64, sharding=shard),
+            jax.ShapeDtypeStruct((batch, 0, n), jnp.float64, sharding=shard),
+            jax.ShapeDtypeStruct((batch, 0), jnp.float64, sharding=shard),
+        ]
+        f = jax.jit(
+            jax.vmap(
+                lambda Q, c, A, b, G, d: ipm_solve(
+                    Q, c, A, b, G, d, spec, kkt, opts
+                )
+            )
+        )
+        hlo = f.lower(*shapes).compile().as_text()
+        return len(COLLECTIVES.findall(hlo))
+
+    results = []
+    print("── collective census (dp-sharded batched solve) ──")
+    for ndev in (1, 2, 4, 8):
+        if ndev > ndev_avail:
+            break
+        ncoll = collective_census(ndev)
+        print(f"devices={ndev}: {ncoll} collective ops in optimized HLO")
+        results.append(dict(devices=ndev, collectives=ncoll))
+
+    # tp path: collectives per iteration of the row-sharded Schur assembly
+    from conicip_tpu.parallel import kktsolver_schur_tp
+
+    mesh2 = make_mesh((min(2, ndev_avail),), ("tp",),
+                      devices=jax.devices()[: min(2, ndev_avail)])
+    kkt_tp = kktsolver_schur_tp(mesh2, "tp")
+    ftp = jax.jit(
+        lambda Q, c, A, b, G, d: ipm_solve(Q, c, A, b, G, d, spec, kkt_tp,
+                                           opts)
+    )
+    shp = [
+        jax.ShapeDtypeStruct((n, n), jnp.float64),
+        jax.ShapeDtypeStruct((n,), jnp.float64),
+        jax.ShapeDtypeStruct((2 * n, n), jnp.float64),
+        jax.ShapeDtypeStruct((2 * n,), jnp.float64),
+        jax.ShapeDtypeStruct((0, n), jnp.float64),
+        jax.ShapeDtypeStruct((0,), jnp.float64),
+    ]
+    hlo_tp = ftp.lower(*shp).compile().as_text()
+    ntp = len(COLLECTIVES.findall(hlo_tp))
+    print(f"tp-sharded Schur assembly (2 devices): {ntp} collective ops "
+          f"in the whole solve program")
+    results.append(dict(tp_devices=min(2, ndev_avail), tp_collectives=ntp))
+
+    print("── wall clock on the OVERSUBSCRIBED virtual mesh "
+          "(not a scaling claim) ──")
+    base_rate = None
+    for ndev in (1, 2, 4, 8):
+        if ndev > ndev_avail:
+            break
+        t, iters, ok, batch = run(ndev)
+        rate = iters / t
+        if base_rate is None:
+            base_rate = rate
+        results.append(
+            dict(devices=ndev, batch=batch, seconds=round(t, 4),
+                 iters=iters, iters_per_s=round(rate, 1), all_optimal=ok)
+        )
+        print(
+            f"devices={ndev} batch={batch}: {t*1e3:8.1f} ms, {iters} iters "
+            f"-> {rate:8.1f} iters/s (shared physical cores), all-opt={ok}"
+        )
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"written to {args.json}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
