@@ -30,7 +30,7 @@ objectives only, like the reference wrapper (README.md:70).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

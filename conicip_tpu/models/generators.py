@@ -8,7 +8,7 @@ RNG); only the problem *shapes and structure* mirror the reference.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 import numpy as np

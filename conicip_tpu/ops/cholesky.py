@@ -11,7 +11,7 @@ is selected automatically on TPU for f32 factorizations of MXU-aligned sizes.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

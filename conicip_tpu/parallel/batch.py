@@ -121,4 +121,48 @@ def solve_batch(
         Q, c, A, b, G, d = map(put, (Q, c, A, b, G, d))
 
     st = jax.block_until_ready(solver(Q, c, A, b, G, d))
-    return BatchSolution.from_state(st)
+    out = BatchSolution.from_state(st)
+
+    # Per-instance robustness backstop (same policy as conic_ip): instances
+    # whose f32 factorization was exhausted near a solution are re-solved
+    # individually in full precision, warm-started from their best iterate.
+    if factor_dtype == jnp.float32:
+        from ..solver import Status, _default_kktsolver, _solve_warm_jit
+        from ..solver.state import STATUS_NAMES, Vec4
+
+        resid = np.maximum(out.prFeas, np.maximum(out.duFeas, out.muFeas))
+        stalled = np.nonzero(
+            np.isin(out.status, (Status.ABANDONED, Status.ERROR))
+            & np.isfinite(resid)
+            & (resid < 1e-2)
+        )[0]
+        if stalled.size:
+            # np.asarray of device arrays is read-only — make fields writable
+            for field in BatchSolution.__dataclass_fields__:
+                setattr(out, field, np.array(getattr(out, field)))
+            opts64 = IPMOptions(
+                **{**options, "mixedResiduals": False}
+            )
+            for i in stalled:
+                yb, wb, vb = out.y[i], out.w[i], out.v[i]
+                sb = np.asarray(A[i] @ jnp.asarray(yb) - b[i])
+                if not (
+                    np.all(np.isfinite(yb))
+                    and np.all(np.isfinite(vb))
+                    and np.all(np.isfinite(sb))
+                    and np.all(np.isfinite(wb))
+                ):
+                    continue
+                warm = Vec4(
+                    jnp.asarray(yb), jnp.asarray(wb), jnp.asarray(vb),
+                    jnp.asarray(sb),
+                )
+                sti = jax.block_until_ready(
+                    _solve_warm_jit(
+                        Q[i], c[i], A[i], b[i], G[i], d[i], warm, spec=spec,
+                        kktsolver=_default_kktsolver(None), opts=opts64,
+                    )
+                )
+                for field in BatchSolution.__dataclass_fields__:
+                    getattr(out, field)[i] = np.asarray(getattr(sti, field))
+    return out

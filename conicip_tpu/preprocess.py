@@ -19,7 +19,7 @@ both matching the reference exactly.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 from scipy.linalg import qr as _pivoted_qr

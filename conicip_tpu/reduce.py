@@ -31,7 +31,7 @@ inconsistent equalities short-circuit to an Infeasible solution.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import numpy as np
 import scipy.linalg

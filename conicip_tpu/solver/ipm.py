@@ -28,7 +28,7 @@ well above the 50x-tolerance switch point, so a trigger can't be missed).
 
 from __future__ import annotations
 
-import math
+
 from dataclasses import dataclass, replace
 from typing import Callable, NamedTuple, Optional
 
