@@ -43,7 +43,8 @@ __all__ = ["kktsolver_2x2", "kktsolver_schur"]
 _HI = jax.lax.Precision.HIGHEST
 
 
-def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
+def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None,
+                  assemble_dtype=None):
     """Dense-Cholesky 2x2 solver for ``[[M, Gᵀ], [G, 0]]`` with
     ``M = Q + Aᵀ(FᵀF)⁻¹A``.
 
@@ -65,8 +66,14 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
     p = G.shape[0]
     wd = Q.dtype  # working dtype of the IPM vectors
     fd = wd if factor_dtype is None else factor_dtype
-    Qf = Q.astype(fd)
-    Af = A.astype(fd)
+    # Assembly precision can exceed factorization precision: SOC scalings
+    # span ~16 decades near convergence and the Gram assembly cancels
+    # catastrophically in f32 — assembling in f64 (emulated, ~1-3 ms) and
+    # factoring the equilibrated result in f32 was measured to rescue a
+    # class of stalls at ~50x less cost than a full-f64 solve.
+    ad = fd if assemble_dtype is None else assemble_dtype
+    Qf = Q.astype(ad)
+    Af = A.astype(ad)
     Gf = G.astype(fd)
     GfT = Gf.T
     If = jnp.eye(n, dtype=fd)
@@ -78,10 +85,12 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
     ridge = 30.0 * jnp.finfo(fd).eps
 
     def _equilibrated_inv(Msym, k):
+        # equilibrate in assembly precision, then cast to factor precision
         dscale = jax.lax.rsqrt(
-            jnp.maximum(jnp.diagonal(Msym), jnp.finfo(fd).tiny)
+            jnp.maximum(jnp.diagonal(Msym), jnp.finfo(Msym.dtype).tiny)
         )
-        Ms = Msym * dscale[:, None] * dscale[None, :]
+        Ms = (Msym * dscale[:, None] * dscale[None, :]).astype(fd)
+        dscale = dscale.astype(fd)
         Ik = jnp.eye(k, dtype=fd)
         L = cholesky(Ms + ridge * Ik)
         # Escalating-ridge retries: SOC rank-1 scaling terms span ~16
@@ -106,15 +115,15 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
         return inv_apply, Linv, dscale
 
     def solve2x2gen(F, FinvT):
-        Ff = sc.cast(FinvT, fd)
+        Ff = sc.cast(FinvT, ad)
         Atil = sc.apply_mat(spec, Ff, Af)  # F⁻ᵀ A, structure-exploiting
         M = Qf + jnp.matmul(Atil.T, Atil, precision=_HI)
         if p:
             gamma = (jnp.trace(M) / n) / (
-                jnp.sum(Gf * Gf) / p + jnp.finfo(fd).tiny
+                (jnp.sum(Gf * Gf) / p).astype(ad) + jnp.finfo(ad).tiny
             )
             gamma = jnp.where(jnp.isfinite(gamma) & (gamma > 0), gamma, 1.0)
-            Maug = M + gamma * jnp.matmul(GfT, Gf, precision=_HI)
+            Maug = M + gamma * jnp.matmul(GfT, Gf, precision=_HI).astype(ad)
         else:
             gamma = None
             Maug = M
@@ -126,11 +135,13 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
             S = jnp.matmul(E.T, E, precision=_HI)  # SPD
             sinv, _, _ = _equilibrated_inv(S, p)
 
+        gamma_f = gamma.astype(fd) if p else None
+
         def solve2x2(by, bw):
             by = by.astype(fd)
             bw = bw.astype(fd)
             if p:
-                t = minv(by + gamma * (GfT @ bw))
+                t = minv(by + gamma_f * (GfT @ bw))
                 b2 = sinv(Gf @ t - bw)
                 a = t - minv(GfT @ b2)
                 return a.astype(wd), b2.astype(wd)
@@ -141,7 +152,9 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
     return solve2x2gen
 
 
-def kktsolver_schur(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
+def kktsolver_schur(Q, A, G, spec: ConeSpec, *, factor_dtype=None,
+                    assemble_dtype=None):
     """Default KKT solver: :func:`pivot` around :func:`kktsolver_2x2`."""
-    inner = functools.partial(kktsolver_2x2, factor_dtype=factor_dtype)
+    inner = functools.partial(kktsolver_2x2, factor_dtype=factor_dtype,
+                              assemble_dtype=assemble_dtype)
     return pivot(inner, factor_dtype=factor_dtype)(Q, A, G, spec)

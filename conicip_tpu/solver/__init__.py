@@ -35,12 +35,15 @@ def _solve_warm_jit(Q, c, A, b, G, d, warm, *, spec, kktsolver, opts):
 
 
 @functools.lru_cache(maxsize=None)
-def _default_kktsolver(factor_dtype):
+def _default_kktsolver(factor_dtype, assemble_dtype=None):
     from ..kkt import kktsolver_schur
 
-    if factor_dtype is None:
+    if factor_dtype is None and assemble_dtype is None:
         return kktsolver_schur
-    return functools.partial(kktsolver_schur, factor_dtype=factor_dtype)
+    return functools.partial(
+        kktsolver_schur, factor_dtype=factor_dtype,
+        assemble_dtype=assemble_dtype,
+    )
 
 
 def conic_ip(
@@ -130,51 +133,69 @@ def conic_ip(
     st = jax.block_until_ready(st)
     sol = Solution.from_state(st)
 
-    # Robustness backstop: an f32 factorization stalls once kappa(M) ~ 1/mu
-    # exceeds ~1/eps_f32 (refinement stops contracting, ConicIP.jl's f64
-    # LAPACK never hits this). If the fast mode ran out of iterations while
-    # clearly *near* a solution, re-solve in full precision — rare, and
-    # correctness beats speed when it happens.
-    if (
-        factor_dtype == jnp.float32
-        and sol.status in ("Abandoned", "Error")
-        and np.isfinite(sol.prFeas)
-        and max(sol.prFeas, sol.duFeas, sol.muFeas) < 1e-2
-    ):
-        opts64 = IPMOptions(
-            optTol=optTol, DTB=DTB, verbose=verbose,
-            maxRefinementSteps=maxRefinementSteps, maxIters=maxIters,
-            cache_nestodd=cache_nestodd, infeasTol=infeasTol,
-            refinementThreshold=refinementThreshold, mixedResiduals=False,
+    # Robustness backstop ladder: an f32 factorization stalls once
+    # kappa(M) ~ 1/mu exceeds ~1/eps_f32 (ConicIP.jl's f64 LAPACK never
+    # hits this). If the fast mode ran out of iterations while clearly
+    # *near* a solution, escalate — warm-started from the best (strictly
+    # interior) iterate each time:
+    #   1. f64-assembled / f32-factored (~1-3 ms per iteration — rescues
+    #      assembly-cancellation stalls, measured on SOC mixes),
+    #   2. full f64 (~70 ms per iteration on TPU — the factorization
+    #      itself ran out of precision).
+    def _stalled(s: Solution) -> bool:
+        return (
+            s.status in ("Abandoned", "Error")
+            and np.isfinite(s.prFeas)
+            and max(s.prFeas, s.duFeas, s.muFeas) < 1e-2
         )
-        # Warm-start the full-precision pass from the best f32 iterate
-        # (strictly interior by construction) — typically 2-4 iterations
-        # instead of a cold ~10, which matters when every f64
-        # factorization costs ~70 ms on TPU.
-        yb = np.asarray(sol.y)
-        vb = np.asarray(sol.v)
-        wb = np.asarray(sol.w)
+
+    def _warm_from(s: Solution):
+        yb, vb, wb = np.asarray(s.y), np.asarray(s.v), np.asarray(s.w)
         sb = np.asarray(A @ jnp.asarray(yb) - b)
-        if (
+        if not (
             np.all(np.isfinite(yb))
             and np.all(np.isfinite(vb))
             and np.all(np.isfinite(sb))
             and np.all(np.isfinite(wb))
         ):
-            warm = Vec4(
-                jnp.asarray(yb), jnp.asarray(wb), jnp.asarray(vb),
-                jnp.asarray(sb),
+            return None
+        return Vec4(
+            jnp.asarray(yb), jnp.asarray(wb), jnp.asarray(vb),
+            jnp.asarray(sb),
+        )
+
+    if factor_dtype == jnp.float32 and _stalled(sol):
+        ladder = [
+            (_default_kktsolver(jnp.float32, jnp.float64), True),
+            (_default_kktsolver(None), False),
+        ]
+        for kkt_next, mixed_next in ladder:
+            opts_next = IPMOptions(
+                optTol=optTol, DTB=DTB, verbose=verbose,
+                maxRefinementSteps=maxRefinementSteps, maxIters=maxIters,
+                cache_nestodd=cache_nestodd, infeasTol=infeasTol,
+                refinementThreshold=refinementThreshold,
+                mixedResiduals=mixed_next,
             )
-            st = _solve_warm_jit(
-                Q, c, A, b, G, d, warm, spec=spec,
-                kktsolver=_default_kktsolver(None), opts=opts64,
-            )
-        else:
-            st = _solve_jit(
-                Q, c, A, b, G, d, spec=spec,
-                kktsolver=_default_kktsolver(None), opts=opts64,
-            )
-        sol = Solution.from_state(jax.block_until_ready(st))
+            warm = _warm_from(sol)
+            if warm is not None:
+                st = _solve_warm_jit(
+                    Q, c, A, b, G, d, warm, spec=spec,
+                    kktsolver=kkt_next, opts=opts_next,
+                )
+            else:
+                st = _solve_jit(
+                    Q, c, A, b, G, d, spec=spec,
+                    kktsolver=kkt_next, opts=opts_next,
+                )
+            cand = Solution.from_state(jax.block_until_ready(st))
+            # keep whichever is better if the tier also stalled
+            if max(cand.prFeas, cand.duFeas, cand.muFeas) <= max(
+                sol.prFeas, sol.duFeas, sol.muFeas
+            ) or cand.status not in ("Abandoned", "Error"):
+                sol = cand
+            if not _stalled(sol):
+                break
 
     if verbose:
         _exit_banner(sol.status)
@@ -205,14 +226,29 @@ def _solve_eliminated(
             pobj=np.nan, dobj=np.nan,
         )
 
-    sub = conic_ip(
-        red.Q, red.c, red.A, red.b, cone_dims,
-        kktsolver=kktsolver, optTol=optTol, DTB=DTB, verbose=verbose,
-        maxRefinementSteps=maxRefinementSteps, maxIters=maxIters,
-        infeasTol=infeasTol, refinementThreshold=refinementThreshold,
-        factor_dtype=factor_dtype, dtype=dtype, mixedResiduals=mixedResiduals,
-        eliminateEqualities=False,
-    )
+    # The least-squares dual recovery can amplify the reduced-space dual
+    # residual by a modest factor; when the recovered full-space rDu misses
+    # optTol, one retry at a tighter reduced tolerance closes the gap.
+    sub_tol = optTol
+    for _attempt in range(2):
+        sub = conic_ip(
+            red.Q, red.c, red.A, red.b, cone_dims,
+            kktsolver=kktsolver, optTol=sub_tol, DTB=DTB, verbose=verbose,
+            maxRefinementSteps=maxRefinementSteps, maxIters=maxIters,
+            infeasTol=infeasTol, refinementThreshold=refinementThreshold,
+            factor_dtype=factor_dtype, dtype=dtype,
+            mixedResiduals=mixedResiduals, eliminateEqualities=False,
+        )
+        if sub.status != "Optimal":
+            break
+        y_try = red.recover_y(sub.y)
+        w_try = red.recover_w(y_try, sub.v)
+        rDu_try = np.linalg.norm(
+            Qh @ y_try + Gh.T @ w_try - (Ah.T @ sub.v if Ah.size else 0.0) - ch
+        ) / (1.0 + np.linalg.norm(ch))
+        if rDu_try < optTol:
+            break
+        sub_tol = optTol * 0.02
 
     v = sub.v
     if sub.status == "Unbounded":

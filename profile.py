@@ -60,19 +60,29 @@ def main() -> None:
     opts = IPMOptions(optTol=1e-6, mixedResiduals=args.factor_dtype == "float32")
     opts64 = IPMOptions(optTol=1e-6)
 
+    ladder = (
+        (_default_kktsolver(jnp.float32, jnp.float64),
+         IPMOptions(optTol=1e-6, mixedResiduals=True)),
+        (_default_kktsolver(None), opts64),
+    )
+
     def solve_like_conic_ip(staged_p, spec, kkt):
-        """Mirror conic_ip's device path: fast solve + warm full-precision
-        backstop when the f32 factorization is exhausted near a solution
-        (solver/__init__.py). Returns the final SolState."""
+        """Mirror conic_ip's device path: fast solve + warm backstop
+        ladder (f64-assembled/f32-factored, then full f64) when the f32
+        factorization is exhausted near a solution (solver/__init__.py)."""
         st = _solve_jit(*staged_p, spec=spec, kktsolver=kkt, opts=opts)
-        status = int(st.status)
-        resid = float(jnp.maximum(st.prFeas, jnp.maximum(st.duFeas, st.muFeas)))
-        if status in (Status.ABANDONED, Status.ERROR) and resid < 1e-2:
+        for kkt_next, opts_next in ladder:
+            status = int(st.status)
+            resid = float(
+                jnp.maximum(st.prFeas, jnp.maximum(st.duFeas, st.muFeas))
+            )
+            if not (status in (Status.ABANDONED, Status.ERROR)
+                    and resid < 1e-2):
+                break
             Q, c, A, b, G, d = staged_p
             warm = Vec4(st.y, st.w, st.v, A @ st.y - b)
             st = _solve_warm_jit(Q, c, A, b, G, d, warm, spec=spec,
-                                 kktsolver=_default_kktsolver(None),
-                                 opts=opts64)
+                                 kktsolver=kkt_next, opts=opts_next)
         return st
     print(f"# backend={jax.default_backend()} trials={args.trials} "
           f"factor_dtype={args.factor_dtype}", file=sys.stderr)
@@ -107,11 +117,12 @@ def main() -> None:
                                 opts=opts)
                 Q0, c0, A0, b0, G0, d0 = staged[0]
                 warm0 = Vec4(st.y, st.w, st.v, A0 @ st.y - b0)
-                stw = _solve_warm_jit(Q0, c0, A0, b0, G0, d0, warm0,
-                                      spec=spec,
-                                      kktsolver=_default_kktsolver(None),
-                                      opts=opts64)
-                np.asarray(st.Iter), np.asarray(stw.Iter)
+                for kkt_next, opts_next in ladder:
+                    stw = _solve_warm_jit(Q0, c0, A0, b0, G0, d0, warm0,
+                                          spec=spec, kktsolver=kkt_next,
+                                          opts=opts_next)
+                    np.asarray(stw.Iter)
+                np.asarray(st.Iter)
                 for t in range(1, args.trials + 1):
                     t0 = time.perf_counter()
                     st = solve_like_conic_ip(staged[t], spec, kkt)
