@@ -103,9 +103,17 @@ class Optimizer:
     def add_variable(self) -> int:
         return self.add_variables(1)[0]
 
-    def set_objective(self, sense: str, terms, constant: float = 0.0) -> None:
+    def set_objective(self, sense: str, terms, constant: float = 0.0,
+                      quadratic=None) -> None:
         """``terms`` is a dict {variable index: coefficient} or a dense
-        coefficient vector over all variables."""
+        coefficient vector over all variables.
+
+        ``quadratic`` adds a ½ xᵀPx term: a dict {(i, j): coefficient}
+        (symmetrized) or a dense (n, n) matrix. P must be positive
+        semidefinite for ``min`` and negative semidefinite for ``max``
+        (convexity). This EXTENDS the reference wrapper, which supports
+        linear objectives only (MOI_wrapper.jl:59-64, README.md:70).
+        """
         if sense not in ("min", "max"):
             raise ValueError("sense must be 'min' or 'max'")
         self._sense = sense
@@ -115,6 +123,17 @@ class Optimizer:
             arr = np.asarray(terms, dtype=float)
             self._obj = {i: float(v) for i, v in enumerate(arr) if v != 0.0}
         self._obj_constant = float(constant)
+        self._obj_quad = None
+        if quadratic is not None:
+            if isinstance(quadratic, dict):
+                P = np.zeros((self._n, self._n))
+                for (i, j), v in quadratic.items():
+                    P[i, j] += 0.5 * v
+                    P[j, i] += 0.5 * v
+            else:
+                P = np.asarray(quadratic, dtype=float)
+                P = 0.5 * (P + P.T)
+            self._obj_quad = P
 
     def add_constraint(self, M, q, cset) -> int:
         """Constrain the affine function ``M x + q`` to lie in ``cset``.
@@ -157,9 +176,16 @@ class Optimizer:
         c_obj = np.zeros(n)
         for i, v in self._obj.items():
             c_obj[i] += v
-        # solver minimizes −cᵀy (MOI_wrapper.jl:170-173)
+        # solver minimizes ½yᵀQy − cᵀy (MOI_wrapper.jl:170-173); for a
+        # quadratic user objective ½xᵀPx + cᵀx the mapping is Q = ±P with
+        # the same sign flip as the linear part
         c_int = c_obj if self._sense == "max" else -c_obj
         Q = np.zeros((n, n))
+        quad = getattr(self, "_obj_quad", None)
+        if quad is not None:
+            P = np.zeros((n, n))
+            P[: quad.shape[0], : quad.shape[1]] = quad
+            Q = -P if self._sense == "max" else P
 
         G_rows, d_vals = [], []
         A_rows, b_vals = [], []

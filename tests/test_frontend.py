@@ -80,3 +80,33 @@ def test_status_before_optimize():
     assert model.termination_status() == TerminationStatus.OPTIMIZE_NOT_CALLED
     with pytest.raises(RuntimeError):
         model.objective_value()
+
+
+def test_quadratic_objective_min():
+    """Quadratic objectives EXTEND the reference wrapper (linear-only,
+    MOI_wrapper.jl:59-64): min 1/2 x'Px + c'x."""
+    from conicip_tpu.frontend import GreaterThan, Nonnegatives, Optimizer
+
+    m = Optimizer(optTol=1e-8)
+    x = m.add_variables(2)
+    m.set_objective("min", {x[0]: -1.0, x[1]: -2.0},
+                    quadratic={(0, 0): 1.0, (1, 1): 1.0})
+    m.variables_in(x, Nonnegatives(2))
+    m.add_constraint(np.ones((1, 2)), np.zeros(1), GreaterThan(1.0))
+    m.optimize()
+    assert m.termination_status() == "OPTIMAL"
+    assert np.allclose(m.variable_primal(x), [1.0, 2.0], atol=1e-5)
+    assert abs(m.objective_value() - (-2.5)) < 1e-6
+
+
+def test_quadratic_objective_max():
+    from conicip_tpu.frontend import GreaterThan, Optimizer
+
+    m = Optimizer(optTol=1e-8)
+    y = m.add_variable()
+    m.set_objective("max", {y: 1.0}, quadratic={(0, 0): -1.0})
+    m.add_constraint(np.ones((1, 1)), np.zeros(1), GreaterThan(0.0))
+    m.optimize()
+    assert m.termination_status() == "OPTIMAL"
+    assert abs(m.variable_primal(y) - 1.0) < 1e-5
+    assert abs(m.objective_value() - 0.5) < 1e-6
