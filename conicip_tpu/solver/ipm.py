@@ -346,6 +346,11 @@ def ipm_solve(
                 | ~jnp.isfinite(R_est.rmax)
             )
             fire = near & (drift > 0.05 * opts.optTol)
+            # Honesty guard: long runs that never approach tolerance still
+            # accumulate drift; once it reaches 10% of the estimated
+            # residual, the estimates (and hence the REPORTED residuals /
+            # best-iterate choices) are no longer trustworthy — recertify.
+            fire = fire | (drift > 0.1 * R_est.rmax)
 
             def _fire(zz):
                 return products_full(zz.y, zz.w, zz.v)
