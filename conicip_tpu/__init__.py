@@ -68,7 +68,7 @@ def __getattr__(name):
 
         return getattr(solver, name)
     if name in ("kktsolver_schur", "kktsolver_qr", "kktsolver_lu", "pivot",
-                "kktsolver_2x2"):
+                "kktsolver_2x2", "kktsolver_diag", "separable"):
         from . import kkt
 
         return getattr(kkt, name)
