@@ -143,11 +143,12 @@ def conic_ip(
     #   2. full f64 (~70 ms per iteration on TPU — the factorization
     #      itself ran out of precision).
     def _stalled(s: Solution) -> bool:
-        return (
-            s.status in ("Abandoned", "Error")
-            and np.isfinite(s.prFeas)
-            and max(s.prFeas, s.duFeas, s.muFeas) < 1e-2
-        )
+        # Near-solution stalls AND far-from-solution non-statuses both
+        # escalate: infeasible/unbounded problems never drive residuals
+        # small — their certificates are what the f32 mode fails to
+        # sharpen — so gating on small residuals would leave them
+        # mis-reported as Abandoned (observed on the Miles-2 dataset).
+        return s.status in ("Abandoned", "Error")
 
     def _warm_from(s: Solution):
         yb, vb, wb = np.asarray(s.y), np.asarray(s.v), np.asarray(s.w)
@@ -249,6 +250,20 @@ def _solve_eliminated(
         if rDu_try < optTol:
             break
         sub_tol = optTol * 0.02
+
+    if sub.status in ("Abandoned", "Error"):
+        # The null-space transform can make some problems numerically
+        # harder (Z mixes structure away; observed on the Miles-3 dataset
+        # on TPU) — fall back to the direct saddle path, whose own
+        # precision ladder handles f32 equality stalls.
+        return conic_ip(
+            Q, c, A, b, cone_dims, G, d,
+            kktsolver=kktsolver, optTol=optTol, DTB=DTB, verbose=verbose,
+            maxRefinementSteps=maxRefinementSteps, maxIters=maxIters,
+            infeasTol=infeasTol, refinementThreshold=refinementThreshold,
+            factor_dtype=factor_dtype, dtype=dtype,
+            mixedResiduals=mixedResiduals, eliminateEqualities=False,
+        )
 
     v = sub.v
     if sub.status == "Unbounded":
