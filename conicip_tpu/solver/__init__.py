@@ -111,6 +111,7 @@ def conic_ip(
         )
 
     spec = ConeSpec(cone_dims)
+    user_kktsolver = kktsolver is not None
     if kktsolver is None:
         kktsolver = _default_kktsolver(factor_dtype)
     if mixedResiduals is None:
@@ -135,9 +136,9 @@ def conic_ip(
 
     # Robustness backstop ladder: an f32 factorization stalls once
     # kappa(M) ~ 1/mu exceeds ~1/eps_f32 (ConicIP.jl's f64 LAPACK never
-    # hits this). If the fast mode ran out of iterations while clearly
-    # *near* a solution, escalate — warm-started from the best (strictly
-    # interior) iterate each time:
+    # hits this). When the fast mode ends without a definitive status,
+    # escalate — warm-started from the best (strictly interior) iterate
+    # each time:
     #   1. f64-assembled / f32-factored (~1-3 ms per iteration — rescues
     #      assembly-cancellation stalls, measured on SOC mixes),
     #   2. full f64 (~70 ms per iteration on TPU — the factorization
@@ -165,7 +166,9 @@ def conic_ip(
             jnp.asarray(sb),
         )
 
-    if factor_dtype == jnp.float32 and _stalled(sol):
+    # Only the default backend escalates — a user-supplied kktsolver is
+    # the user's choice (reference semantics: the plugin is used, period).
+    if factor_dtype == jnp.float32 and not user_kktsolver and _stalled(sol):
         ladder = [
             (_default_kktsolver(jnp.float32, jnp.float64), True),
             (_default_kktsolver(None), False),
