@@ -31,6 +31,14 @@ def main() -> None:
     ap.add_argument("--trace", type=str, default=None)
     ap.add_argument("--factor-dtype", type=str, default="float32",
                     choices=["float32", "float64"])
+    ap.add_argument(
+        "--chained", type=int, default=0, metavar="K",
+        help="device-honest mode: chain K distinct full production solves "
+        "(f32 fast path + in-jit escalation ladder) inside ONE jit per "
+        "family, subtract the measured tunnel round trip, and report true "
+        "per-solve device time — the number comparable to the reference's "
+        "local-CPU wall times (the sync mode pays ~0.03-0.3 s of axon "
+        "tunnel latency per solve that a local TPU host would not)")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +73,10 @@ def main() -> None:
          IPMOptions(optTol=1e-6, mixedResiduals=True)),
         (_default_kktsolver(None), opts64),
     )
+
+    if args.chained:
+        _run_chained(args, opts, ladder)
+        return
 
     def solve_like_conic_ip(staged_p, spec, kkt):
         """Mirror conic_ip's device path: fast solve + warm backstop
@@ -160,6 +172,146 @@ def main() -> None:
             jax.block_until_ready(
                 _solve_jit(*staged, spec=spec, kktsolver=kkt, opts=opts))
         print(f"trace written to {args.trace}", file=sys.stderr)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"report written to {args.json}", file=sys.stderr)
+
+
+def _run_chained(args, opts, ladder) -> None:
+    """Device-honest per-family timing: chain K full production solves —
+    the f32 fast path plus the escalation ladder as in-jit ``lax.cond``
+    branches (the same policy conic_ip applies on host,
+    solver/__init__.py:171-202) — inside ONE jit per family, so the ~30 ms
+    axon tunnel round trip is paid once, measured, and subtracted. This is
+    the wall time a local (untunneled) TPU host would see, the honest
+    comparison against the reference's local-CPU table (BASELINE.md)."""
+    import time as _time
+    from dataclasses import replace as dc_replace
+
+    import jax
+    import jax.numpy as jnp
+
+    from conicip_tpu.cones.spec import ConeSpec
+    from conicip_tpu.models import ALL_GENERATORS
+    from conicip_tpu.solver import _default_kktsolver
+    from conicip_tpu.solver.ipm import ipm_solve
+    from conicip_tpu.solver.state import Status, Vec4
+
+    K = args.chained
+    kkt_fast = _default_kktsolver(jnp.float32)
+    (kkt_mid, opts_mid), (kkt_f64, opts_f64) = ladder
+
+    # single dispatch+sync round-trip baseline (tunnel latency)
+    probe = jax.jit(lambda x: x + 1)
+    np.asarray(probe(jnp.float32(0)))
+    rts = []
+    for _ in range(5):
+        t0 = _time.perf_counter()
+        np.asarray(probe(jnp.float32(0)))
+        rts.append(_time.perf_counter() - t0)
+    rt = float(np.median(rts))
+    print(f"# chained mode: K={K} production solves per jit "
+          f"(f32 fast path + in-jit backstop ladder); tunnel round trip "
+          f"{rt*1e3:.1f} ms subtracted; equality-constrained families run "
+          f"the direct saddle path (no host-side elimination inside jit)",
+          file=sys.stderr)
+
+    results = []
+    for gen in ALL_GENERATORS:
+        probs = [gen(seed=42 + t) for t in range(K)]
+        spec = ConeSpec(probs[0].cone_dims)
+        name = probs[0].name
+        n = len(probs[0].c)
+
+        def stk(get, fill):
+            return jnp.asarray(np.stack([
+                np.asarray(get(p)) if get(p) is not None else fill
+                for p in probs
+            ]))
+
+        staged = tuple(jax.device_put(x) for x in (
+            stk(lambda p: p.Q, None), stk(lambda p: p.c, None),
+            stk(lambda p: p.A, None), stk(lambda p: p.b, None),
+            stk(lambda p: p.G, np.zeros((0, n))),
+            stk(lambda p: p.d, np.zeros(0)),
+        ))
+
+        def max_resid(s):
+            return jnp.maximum(s.prFeas, jnp.maximum(s.duFeas, s.muFeas))
+
+        @jax.jit
+        def solve_all(Qs, cs, As, bs, Gs, ds, spec=spec):
+            def one(i):
+                Q, c, A, b, G, d = Qs[i], cs[i], As[i], bs[i], Gs[i], ds[i]
+                st = ipm_solve(Q, c, A, b, G, d, spec, kkt_fast, opts)
+
+                def tier(st0, kkt_next, opts_next):
+                    need = (st0.status == Status.ABANDONED) | (
+                        st0.status == Status.ERROR)
+
+                    def go(s):
+                        # warm start from the best iterate; scrub a
+                        # non-finite one back to a cold-ish start (same
+                        # policy as conic_ip's host ladder)
+                        ok = (jnp.all(jnp.isfinite(s.y))
+                              & jnp.all(jnp.isfinite(s.v))
+                              & jnp.all(jnp.isfinite(s.w)))
+                        y = jnp.where(ok, s.y, jnp.zeros_like(s.y))
+                        w = jnp.where(ok, s.w, jnp.zeros_like(s.w))
+                        v = jnp.where(ok, s.v, jnp.ones_like(s.v))
+                        warm = Vec4(y, w, v, A @ y - b)
+                        s1 = ipm_solve(Q, c, A, b, G, d, spec, kkt_next,
+                                       opts_next, warm=warm)
+                        better = (max_resid(s1) <= max_resid(s)) | (
+                            (s1.status != Status.ABANDONED)
+                            & (s1.status != Status.ERROR))
+                        merged = jax.tree_util.tree_map(
+                            lambda a_, b_: jnp.where(better, a_, b_), s1, s)
+                        # report total IP iterations across tiers
+                        return dc_replace(merged, Iter=s.Iter + s1.Iter)
+
+                    return jax.lax.cond(need, go, lambda s: s, st0)
+
+                st = tier(st, kkt_mid, opts_mid)
+                st = tier(st, kkt_f64, opts_f64)
+                return st
+
+            def body(i, acc):
+                iters, resid, nopt = acc
+                st = one(i)
+                return (iters + st.Iter,
+                        jnp.maximum(resid, max_resid(st)),
+                        nopt + jnp.where(st.status == Status.OPTIMAL, 1, 0))
+
+            return jax.lax.fori_loop(
+                0, K, body, (jnp.int32(0), jnp.float64(0.0), jnp.int32(0)))
+
+        try:
+            out = tuple(np.asarray(x) for x in solve_all(*staged))  # warmup
+            best = np.inf
+            for _ in range(args.trials):
+                t0 = _time.perf_counter()
+                out = tuple(np.asarray(x) for x in solve_all(*staged))
+                best = min(best, _time.perf_counter() - t0)
+            elapsed = max(best - rt, 1e-9)
+            iters, resid, nopt = int(out[0]), float(out[1]), int(out[2])
+            row = dict(problem=name, backend="production(chained)",
+                       solves=K, n_optimal=nopt,
+                       s_per_solve=round(elapsed / K, 6),
+                       iters_per_solve=round(iters / K, 2),
+                       ms_per_iter=round(elapsed / max(iters, 1) * 1e3, 4),
+                       max_resid=resid,
+                       status="Optimal" if nopt == K else "mixed")
+            print(f"{name:34s} {row['s_per_solve']:>10.6f} s/solve  "
+                  f"iters/solve={row['iters_per_solve']}  "
+                  f"optimal={nopt}/{K}  max_resid={resid:.2e}")
+        except Exception as e:  # noqa: BLE001 — record and continue
+            row = dict(problem=name, backend="production(chained)",
+                       solves=K, status=f"failed: {type(e).__name__}")
+            print(f"{name:34s} failed: {type(e).__name__}: {e}")
+        results.append(row)
 
     if args.json:
         with open(args.json, "w") as f:

@@ -110,3 +110,41 @@ def test_quadratic_objective_max():
     assert m.termination_status() == "OPTIMAL"
     assert abs(m.variable_primal(y) - 1.0) < 1e-5
     assert abs(m.objective_value() - 0.5) < 1e-6
+
+
+def test_psd_triangle_projection():
+    # PSD projection through the frontend: min ½‖x − m‖² s.t. mat(x) ⪰ 0,
+    # where m = vecm(M) for a symmetric indefinite M. The optimum is the
+    # eigenvalue-clipped projection of M (reference PSD semantics,
+    # test/runtests.jl:527-552, via the wrapper's PSDTriangle translation,
+    # MOI_wrapper.jl:220-225). Variables use the internal vecm (√2 off-
+    # diagonal) convention, matching the reference wrapper's pass-through.
+    from conicip_tpu import mat, vecm
+    from conicip_tpu.frontend import PSDTriangle
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    k = 4
+    B = rng.standard_normal((k, k))
+    M = 0.5 * (B + B.T)
+    m = np.asarray(vecm(jnp.asarray(M)))
+    dim = k * (k + 1) // 2
+
+    model = Optimizer(optTol=1e-7)
+    x = model.add_variables(dim)
+    # ½xᵀx − mᵀx  (constant ½‖m‖² dropped)
+    model.set_objective("min", {i: -m[i] for i in range(dim)},
+                        quadratic=np.eye(dim))
+    ci = model.variables_in(x, PSDTriangle(k))
+    model.optimize()
+    assert model.termination_status() == TerminationStatus.OPTIMAL
+
+    w, V = np.linalg.eigh(M)
+    X_star = (V * np.clip(w, 0.0, None)) @ V.T
+    X_got = np.asarray(mat(jnp.asarray(model.variable_primal(x))))
+    np.testing.assert_allclose(X_got, X_star, atol=1e-5)
+    # dual of the PSD constraint is the negative-part certificate:
+    # v = vecm(X* − M) up to sign/scaling; at minimum it must be PSD
+    v = model.constraint_dual(ci)
+    Vd = np.asarray(mat(jnp.asarray(np.asarray(v))))
+    assert np.linalg.eigvalsh(Vd).min() > -1e-5
