@@ -24,7 +24,12 @@ from ..cones.spec import ConeSpec
 from ..solver.ipm import IPMOptions, ipm_solve
 from ..solver.state import STATUS_NAMES, SolState
 
-__all__ = ["solve_batch", "BatchSolution", "make_batched_solver"]
+__all__ = [
+    "solve_batch",
+    "BatchSolution",
+    "make_batched_solver",
+    "make_batched_warm_solver",
+]
 
 
 @dataclass
@@ -65,6 +70,20 @@ def make_batched_solver(spec: ConeSpec, kktsolver, opts: IPMOptions,
     return jax.jit(jax.vmap(core, in_axes=(0, 0, 0, 0, g_axis, g_axis)))
 
 
+@functools.lru_cache(maxsize=None)
+def make_batched_warm_solver(spec: ConeSpec, kktsolver, opts: IPMOptions,
+                             batch_G: bool = True):
+    """jitted vmapped warm-started solver (warm iterate batched on axis 0)."""
+    g_axis = 0 if batch_G else None
+
+    def core(Q, c, A, b, G, d, warm):
+        return ipm_solve(Q, c, A, b, G, d, spec, kktsolver, opts, warm=warm)
+
+    return jax.jit(
+        jax.vmap(core, in_axes=(0, 0, 0, 0, g_axis, g_axis, 0))
+    )
+
+
 def solve_batch(
     Q,
     c,
@@ -79,6 +98,7 @@ def solve_batch(
     kktsolver=None,
     factor_dtype=None,
     dtype=None,
+    warm_start=None,
     **options,
 ) -> BatchSolution:
     """Solve a stack of independent conic QPs (leading batch axis on
@@ -86,6 +106,12 @@ def solve_batch(
 
     With ``mesh``, the batch axis is sharded over ``mesh[batch_axis]`` —
     per-problem work stays local to one device; XLA inserts no collectives.
+
+    ``warm_start`` seeds every instance from a previous
+    :class:`BatchSolution` (or a ``(y, w, v)`` tuple of stacked arrays) —
+    the production pattern for periodic re-solves of drifting problem
+    batches. Instances with non-finite warm data are scrubbed to a neutral
+    start (the iterate is shifted strictly into the cone either way).
     """
     dtype = dtype or jnp.float64
     Q = jnp.asarray(Q, dtype)
@@ -113,14 +139,47 @@ def solve_batch(
     if opts.verbose:
         raise ValueError("verbose output is not supported in batched mode")
 
-    solver = make_batched_solver(spec, kktsolver, opts)
+    warm = None
+    if warm_start is not None:
+        from ..solver.state import Vec4
+
+        ws = warm_start
+        wy = np.asarray(ws.y if hasattr(ws, "y") else ws[0], float)
+        wv = np.asarray(ws.v if hasattr(ws, "v") else ws[2], float)
+        ww = ws.w if hasattr(ws, "w") else ws[1]
+        p = G.shape[1]
+        ww = np.zeros((batch, p)) if ww is None else np.asarray(ww, float)
+        if wy.shape != (batch, n) or wv.shape != A.shape[:2] or ww.shape != (batch, p):
+            raise ValueError("warm_start dimensions do not match the batch")
+        ok = (
+            np.all(np.isfinite(wy), axis=1)
+            & np.all(np.isfinite(ww), axis=1)
+            & np.all(np.isfinite(wv), axis=1)
+        )[:, None]
+        wy = jnp.asarray(np.where(ok, wy, 0.0), dtype)
+        ww = jnp.asarray(np.where(ok, ww, 0.0), dtype)
+        wv = jnp.asarray(np.where(ok, wv, 1.0), dtype)
+        ws_slack = jnp.einsum("bij,bj->bi", A, wy) - b
+        warm = Vec4(wy, ww, wv, ws_slack)
+
+    solver = (
+        make_batched_warm_solver(spec, kktsolver, opts)
+        if warm is not None
+        else make_batched_solver(spec, kktsolver, opts)
+    )
 
     if mesh is not None:
         shard = NamedSharding(mesh, P(batch_axis))
         put = lambda x: jax.device_put(x, shard)  # noqa: E731
         Q, c, A, b, G, d = map(put, (Q, c, A, b, G, d))
+        if warm is not None:
+            warm = Vec4(*(jax.device_put(x, shard) for x in
+                          (warm.y, warm.w, warm.v, warm.s)))
 
-    st = jax.block_until_ready(solver(Q, c, A, b, G, d))
+    if warm is not None:
+        st = jax.block_until_ready(solver(Q, c, A, b, G, d, warm))
+    else:
+        st = jax.block_until_ready(solver(Q, c, A, b, G, d))
     out = BatchSolution.from_state(st)
 
     # Per-instance robustness backstop (same policy as conic_ip): instances

@@ -89,3 +89,49 @@ def test_kktsolver_schur_tp_rejects_unsupported():
         # m=10 not divisible by 8
         ct.conic_ip(np.eye(5), np.ones(5), np.vstack([np.eye(5), np.eye(5)]),
                     np.zeros(10), [("R", 10)], kktsolver=kkt)
+
+
+def test_solve_batch_warm_start():
+    Q, c, A, b, cones = batched_box_qp(batch=8, n=20)
+    cold = solve_batch(Q, c, A, b, cones, optTol=1e-7)
+    assert cold.statuses == ["Optimal"] * 8
+
+    c2 = np.asarray(c) * 1.01
+    cold2 = solve_batch(Q, c2, A, b, cones, optTol=1e-7)
+    warm2 = solve_batch(Q, c2, A, b, cones, optTol=1e-7, warm_start=cold)
+    assert warm2.statuses == ["Optimal"] * 8
+    assert warm2.Iter.mean() < cold2.Iter.mean()
+    # both are tol-accurate solutions; iterates agree to ~sqrt(tol) near
+    # weakly-active bounds
+    np.testing.assert_allclose(warm2.y, cold2.y, atol=2e-3)
+    assert np.maximum(warm2.prFeas,
+                      np.maximum(warm2.duFeas, warm2.muFeas)).max() < 1e-7
+
+
+def test_solve_batch_warm_start_scrubs_nonfinite():
+    Q, c, A, b, cones = batched_box_qp(batch=4, n=12)
+    cold = solve_batch(Q, c, A, b, cones, optTol=1e-7)
+    y = np.array(cold.y)
+    y[2] = np.nan  # one corrupted instance must not poison the batch
+    warm = solve_batch(Q, c, A, b, cones, optTol=1e-7,
+                       warm_start=(y, np.array(cold.w), np.array(cold.v)))
+    assert warm.statuses == ["Optimal"] * 4
+
+
+def test_solve_batch_warm_start_sharded():
+    mesh = make_mesh((8,), ("batch",))
+    Q, c, A, b, cones = batched_box_qp(batch=16, n=16)
+    cold = solve_batch(Q, c, A, b, cones, mesh=mesh, optTol=1e-7)
+    warm = solve_batch(Q, c, A, b, cones, mesh=mesh, optTol=1e-7,
+                       warm_start=cold)
+    assert warm.statuses == ["Optimal"] * 16
+    assert warm.Iter.max() <= cold.Iter.max()
+
+
+def test_solve_batch_warm_start_bad_dims():
+    Q, c, A, b, cones = batched_box_qp(batch=4, n=12)
+    cold = solve_batch(Q, c, A, b, cones)
+    with pytest.raises(ValueError):
+        solve_batch(Q, c, A, b, cones,
+                    warm_start=(np.array(cold.y)[:, :-1], None,
+                                np.array(cold.v)))
