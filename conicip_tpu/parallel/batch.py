@@ -132,9 +132,21 @@ def solve_batch(
 
     spec = ConeSpec(cone_dims)
     if kktsolver is None:
-        from ..solver import _default_kktsolver
+        # auto structure exploitation (same policy as conic_ip), but the
+        # separability pattern must hold for EVERY instance in the batch
+        from ..solver import _default_kktsolver, _diag_kktsolver
 
-        kktsolver = _default_kktsolver(factor_dtype)
+        Qh, Ah = np.asarray(Q), np.asarray(A)
+        offdiag = ~np.eye(n, dtype=bool)
+        if (
+            not spec.soc_groups
+            and not spec.sdp_groups
+            and np.count_nonzero(Qh[:, offdiag]) == 0
+            and bool(np.all(np.count_nonzero(Ah, axis=2) <= 1))
+        ):
+            kktsolver = _diag_kktsolver(factor_dtype)
+        else:
+            kktsolver = _default_kktsolver(factor_dtype)
     opts = IPMOptions(**options)
     if opts.verbose:
         raise ValueError("verbose output is not supported in batched mode")

@@ -88,3 +88,29 @@ def test_rejects_soc():
         kktsolver_diag(
             jnp.eye(4), jnp.eye(4), jnp.zeros((0, 4)), ConeSpec([("Q", 4)])
         )
+
+
+def test_default_backend_auto_selects_diag(box_qp):
+    # conic_ip with kktsolver=None must pick the diagonal-Schur backend on
+    # separable problems and the dense Schur path otherwise
+    import jax.numpy as jnp
+
+    from conicip_tpu.cones.spec import ConeSpec
+    from conicip_tpu.solver import (_auto_kktsolver, _default_kktsolver,
+                                    _diag_kktsolver)
+
+    Q, c, A, b, cones = box_qp
+    spec = ConeSpec(cones)
+    assert _auto_kktsolver(Q, A, np.zeros((0, len(c))), spec,
+                           jnp.float32) is _diag_kktsolver(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    Ad = rng.standard_normal(A.shape)  # dense rows -> not separable
+    assert _auto_kktsolver(Q, Ad, np.zeros((0, len(c))), spec,
+                           jnp.float32) is _default_kktsolver(jnp.float32)
+
+    # end-to-end through the default path
+    import conicip_tpu as ct
+    sol = ct.conic_ip(Q, c, A, b, cones, factor_dtype=jnp.float32)
+    assert sol.status == "Optimal"
+    assert max(sol.prFeas, sol.duFeas, sol.muFeas) < 1e-6
