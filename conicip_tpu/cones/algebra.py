@@ -28,6 +28,17 @@ from .segment import put_group, put_r, take_group, take_r
 from .spec import ConeSpec
 from .symm import mat, vecm
 
+# HIGHEST everywhere: on the v5e the default f32 matmul precision is a
+# single bf16 pass (~2.6e-3 relative error, measured) — fatal for the
+# congruences whose eigenvalues drive max-step and the Lyapunov division
+# when these kernels run on f32 data (see cones/scaling.py); for f64
+# operands HIGHEST is exact, so it is always the right choice here.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
 __all__ = [
     "cone_prod",
     "cone_div",
@@ -61,7 +72,8 @@ def cone_prod(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     for g in spec.sdp_groups:
         X = mat(take_group(g, x))  # (k, d, d)
         Y = mat(take_group(g, y))
-        P = X @ Y + Y @ X  # symmetrized product (xsdc!, ConicIP.jl:355-360)
+        # symmetrized product (xsdc!, ConicIP.jl:355-360)
+        P = _mm(X, Y) + _mm(Y, X)
         o = put_group(g, o, vecm(P))
     return o
 
@@ -79,10 +91,11 @@ def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     O = U ( (Uᵀ X U)_{ij} / (w_i + w_j) ) Uᵀ — one batched eigh plus matmuls.
     """
     w, U = jnp.linalg.eigh(Y)
-    Xt = jnp.swapaxes(U, -1, -2) @ X @ U
+    Ut = jnp.swapaxes(U, -1, -2)
+    Xt = _mm(_mm(Ut, X), U)
     denom = w[..., :, None] + w[..., None, :]
     O = Xt / denom
-    return U @ O @ jnp.swapaxes(U, -1, -2)
+    return _mm(_mm(U, O), Ut)
 
 
 def cone_div(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
@@ -148,8 +161,9 @@ def maxstep(spec: ConeSpec, x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
         wX, U = jnp.linalg.eigh(X)
         pd = jnp.all(wX > 0, axis=-1)  # (k,)
         w_safe = jnp.maximum(wX, jnp.finfo(x.dtype).tiny)
-        Xih = (U * jax.lax.rsqrt(w_safe)[..., None, :]) @ jnp.swapaxes(U, -1, -2)
-        M = Xih @ D @ Xih
+        Xih = _mm(U * jax.lax.rsqrt(w_safe)[..., None, :],
+                  jnp.swapaxes(U, -1, -2))
+        M = _mm(_mm(Xih, D), Xih)
         M = 0.5 * (M + jnp.swapaxes(M, -1, -2))
         lam = jnp.linalg.eigvalsh(M)
         all_neg = jnp.all(lam < 0, axis=-1)

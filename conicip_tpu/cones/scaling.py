@@ -29,6 +29,20 @@ from .segment import (put_group, put_r, put_rows_group, put_rows_r,
 from .spec import ConeSpec
 from .symm import mat, vecm
 
+# Every matmul in the scaling path carries precision=HIGHEST. The KKT
+# solvers apply these scalings on f32-cast copies (``cast()``), and on the
+# v5e the DEFAULT f32 matmul precision is a single bf16 pass (measured
+# 2.6e-3 relative error) — enough to destroy the SDP congruences and the
+# Schur assembly as the scaling's dynamic range grows with 1/μ: the f32
+# fast path was observed to diverge around iteration 4 on R+Q+S mixes
+# on-chip. HIGHEST keeps f32 applies at f32 accuracy (and is exact for
+# f64 operands) at negligible cost on these small batched matrices.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
 __all__ = [
     "NTScaling",
     "nt_scaling",
@@ -116,12 +130,12 @@ def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray) -> NTScaling:
         LzT = jnp.swapaxes(Lz, -1, -2)
         if _use_svd():
             Ls = jnp.linalg.cholesky(Sm)
-            U, lam, _ = jnp.linalg.svd(LzT @ Ls)
+            U, lam, _ = jnp.linalg.svd(_mm(LzT, Ls))
         else:
             # eigh form of the same factorization: for M = LzᵀLs,
             # M Mᵀ = Lzᵀ S Lz = U Λ² Uᵀ gives exactly svd(M)'s U and Λ.
             # (jnp.linalg.svd crashes the TPU compiler; eigh lowers fine.)
-            T = LzT @ Sm @ Lz
+            T = _mm(_mm(LzT, Sm), Lz)
             T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
             lam2, U = jnp.linalg.eigh(T)
             lam2 = jnp.maximum(lam2, jnp.finfo(z.dtype).tiny)
@@ -134,7 +148,7 @@ def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray) -> NTScaling:
         sl = jnp.sqrt(lam)
         R = X * sl[..., None, :]
         # closed-form inverse: R⁻¹ = diag(1/√λ) Uᵀ Lzᵀ
-        Rinv = (jnp.swapaxes(U, -1, -2) @ LzT) / sl[..., :, None]
+        Rinv = _mm(jnp.swapaxes(U, -1, -2), LzT) / sl[..., :, None]
         sdp.append(SdpScaling(S=R, Sinv=Rinv))
     return NTScaling(r_d=r_d, soc=tuple(soc), sdp=tuple(sdp))
 
@@ -212,7 +226,7 @@ def _apply(spec: ConeSpec, F: NTScaling, x: jnp.ndarray, transpose_sdp: bool):
         X = mat(take_group(g, x))
         S = sd.S
         St = jnp.swapaxes(S, -1, -2)
-        Y = (S @ X @ St) if transpose_sdp else (St @ X @ S)
+        Y = _mm(_mm(S, X), St) if transpose_sdp else _mm(_mm(St, X), S)
         o = put_group(g, o, vecm(Y))
     return o
 
@@ -242,7 +256,7 @@ def _apply_mat(spec: ConeSpec, F: NTScaling, A: jnp.ndarray, transpose_sdp: bool
         o = put_rows_r(spec, o, F.r_d[:, None] * take_rows_r(spec, A))
     for g, sc in zip(spec.soc_groups, F.soc):
         Ag = take_rows_group(g, A)  # (k, dim, n)
-        uA = jnp.einsum("kd,kdn->kn", sc.u, Ag)
+        uA = jnp.einsum("kd,kdn->kn", sc.u, Ag, precision=_HI)
         val = sc.d[:, :, None] * Ag + sc.alpha[:, None, None] * sc.u[:, :, None] * uA[:, None, :]
         o = put_rows_group(g, o, val)
     for g, sd in zip(spec.sdp_groups, F.sdp):
@@ -250,9 +264,9 @@ def _apply_mat(spec: ConeSpec, F: NTScaling, A: jnp.ndarray, transpose_sdp: bool
         X = mat(jnp.swapaxes(Ag, -1, -2))  # (k, n, d, d)
         S = sd.S
         if transpose_sdp:
-            Y = jnp.einsum("kab,knbc,kdc->knad", S, X, S)
+            Y = jnp.einsum("kab,knbc,kdc->knad", S, X, S, precision=_HI)
         else:
-            Y = jnp.einsum("kba,knbc,kcd->knad", S, X, S)
+            Y = jnp.einsum("kba,knbc,kcd->knad", S, X, S, precision=_HI)
         o = put_rows_group(g, o, jnp.swapaxes(vecm(Y), -1, -2))
     return o
 

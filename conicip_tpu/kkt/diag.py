@@ -101,14 +101,14 @@ def kktsolver_2x2_diag(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
             by = by.astype(fd)
             bw = bw.astype(fd)
             if p:
-                t = minv_d * (by + gamma * (GfT @ bw))
-                rhs = Gf @ t - bw
+                t = minv_d * (by + gamma * jnp.matmul(GfT, bw, precision=_HI))
+                rhs = jnp.matmul(Gf, t, precision=_HI) - bw
                 b2 = jnp.matmul(
                     Lsinv.T,
                     jnp.matmul(Lsinv, rhs, precision=_HI),
                     precision=_HI,
                 )
-                a = t - minv_d * (GfT @ b2)
+                a = t - minv_d * jnp.matmul(GfT, b2, precision=_HI)
                 return a.astype(wd), b2.astype(wd)
             return (minv_d * by).astype(wd), by[:0].astype(wd)
 

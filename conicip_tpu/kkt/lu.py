@@ -48,7 +48,7 @@ def kktsolver_lu(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
 
     def solve3x3gen(F, FinvT):
         Fd = sc.dense(spec, F, dtype)
-        W2 = Fd.T @ Fd
+        W2 = jnp.matmul(Fd.T, Fd, precision=jax.lax.Precision.HIGHEST)
         Z = jnp.block(
             [
                 [Q, G.T, -A.T],

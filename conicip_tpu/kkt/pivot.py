@@ -45,20 +45,29 @@ def pivot(kktsolver_2x2, factor_dtype=None):
 
         def solve3x3gen(F, FinvT):
             solve2x2 = solve2x2gen(F, FinvT)
-            Ff = sc.cast(FinvT, fd)
 
             def w2inv(x):
-                # (FᵀF)⁻¹ x = F⁻¹ (F⁻ᵀ x)
-                return sc.apply_adjoint(spec, Ff, sc.apply(spec, Ff, x))
+                # (FᵀF)⁻¹ x = F⁻¹ (F⁻ᵀ x) — in the WORKING dtype: κ(FᵀF)
+                # grows like 1/μ near convergence, so an f32 application
+                # carries ~eps32/μ relative error, which refinement cannot
+                # contract once it exceeds 1 (the measured ~1e-5 stall
+                # floor on R+Q+S mixes). The applies are elementwise (R),
+                # rank-1 (Q), and d×d congruences (S) — cheap in f64 even
+                # on TPU; only the big A GEMVs below stay in factor dtype.
+                return sc.apply_adjoint(spec, FinvT, sc.apply(spec, FinvT, x))
 
             def solve3x3(y, w, v):
-                t1 = w2inv(v.astype(fd))
+                t1 = w2inv(v)
                 dy, dw = solve2x2(
-                    y + jnp.matmul(AfT, t1, precision=_HI).astype(wd), w
+                    y
+                    + jnp.matmul(AfT, t1.astype(fd), precision=_HI).astype(wd),
+                    w,
                 )
                 # Δv = (FᵀF)⁻¹ (v - A Δy)
-                dv = t1 - w2inv(jnp.matmul(Af, dy.astype(fd), precision=_HI))
-                return dy, dw, dv.astype(wd)
+                dv = t1 - w2inv(
+                    jnp.matmul(Af, dy.astype(fd), precision=_HI).astype(wd)
+                )
+                return dy, dw, dv
 
             return solve3x3
 

@@ -10,8 +10,17 @@ null space of G).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    # HIGHEST: the v5e default f32 matmul precision is a single bf16
+    # pass (see cones/scaling.py); exact for f64 operands
+    return jnp.matmul(a, b, precision=_HI)
 
 from ..cones import scaling as sc
 from ..cones.spec import ConeSpec
@@ -21,7 +30,7 @@ __all__ = ["kktsolver_qr"]
 
 def _qr_solve(Qf, Rf, b):
     """Least-squares solve via a reduced QR factorization."""
-    return solve_triangular(Rf, Qf.T @ b, lower=False)
+    return solve_triangular(Rf, _mm(Qf.T, b), lower=False)
 
 
 def kktsolver_qr(Q, A, G, spec: ConeSpec):
@@ -38,29 +47,32 @@ def kktsolver_qr(Q, A, G, spec: ConeSpec):
 
     def solve3x3gen(F, FinvT):
         Atil = sc.apply_mat(spec, FinvT, A)  # F⁻ᵀ A
-        M = Q + Atil.T @ Atil  # Q + AᵀF⁻¹F⁻ᵀA
+        M = Q + _mm(Atil.T, Atil)  # Q + AᵀF⁻¹F⁻ᵀA
 
         if p:
-            red = Q2.T @ M @ Q2
+            red = _mm(_mm(Q2.T, M), Q2)
         else:
             red = M
         Lq, Lr = jnp.linalg.qr(red)
 
         def solve3x3(bx, by, bz):
             Fz0 = sc.apply(spec, FinvT, bz)  # F⁻ᵀ bz
-            rhs = bx + Atil.T @ Fz0
+            rhs = bx + _mm(Atil.T, Fz0)
             if p:
                 u1 = solve_triangular(R1.T, by, lower=True)  # Q1ᵀ a
-                t = M @ (Q1 @ u1)
-                u2 = _qr_solve(Lq, Lr, Q2.T @ rhs - Q2.T @ t)  # Q2ᵀ a
+                t = _mm(M, _mm(Q1, u1))
+                u2 = _qr_solve(Lq, Lr, _mm(Q2.T, rhs) - _mm(Q2.T, t))  # Q2ᵀ a
                 b = solve_triangular(
-                    R1, Q1.T @ rhs - Q1.T @ t - Q1.T @ (M @ (Q2 @ u2)), lower=False
+                    R1,
+                    _mm(Q1.T, rhs) - _mm(Q1.T, t)
+                    - _mm(Q1.T, _mm(M, _mm(Q2, u2))),
+                    lower=False,
                 )
-                a = Q1 @ u1 + Q2 @ u2
+                a = _mm(Q1, u1) + _mm(Q2, u2)
             else:
                 a = _qr_solve(Lq, Lr, rhs)
                 b = bx[:0]
-            Fz = Fz0 - Atil @ a  # F⁻ᵀ(bz - A a)
+            Fz = Fz0 - _mm(Atil, a)  # F⁻ᵀ(bz - A a)
             c = sc.apply_adjoint(spec, FinvT, Fz)  # F⁻¹ Fz = (FᵀF)⁻¹(bz - A a)
             return a, b, c
 

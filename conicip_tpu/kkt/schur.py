@@ -141,9 +141,9 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None,
             by = by.astype(fd)
             bw = bw.astype(fd)
             if p:
-                t = minv(by + gamma_f * (GfT @ bw))
-                b2 = sinv(Gf @ t - bw)
-                a = t - minv(GfT @ b2)
+                t = minv(by + gamma_f * jnp.matmul(GfT, bw, precision=_HI))
+                b2 = sinv(jnp.matmul(Gf, t, precision=_HI) - bw)
+                a = t - minv(jnp.matmul(GfT, b2, precision=_HI))
                 return a.astype(wd), b2.astype(wd)
             return minv(by).astype(wd), by[:0].astype(wd)
 

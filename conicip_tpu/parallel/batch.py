@@ -171,7 +171,8 @@ def solve_batch(
         wy = jnp.asarray(np.where(ok, wy, 0.0), dtype)
         ww = jnp.asarray(np.where(ok, ww, 0.0), dtype)
         wv = jnp.asarray(np.where(ok, wv, 1.0), dtype)
-        ws_slack = jnp.einsum("bij,bj->bi", A, wy) - b
+        ws_slack = jnp.einsum("bij,bj->bi", A, wy,
+                              precision=jax.lax.Precision.HIGHEST) - b
         warm = Vec4(wy, ww, wv, ws_slack)
 
     solver = (
@@ -216,7 +217,7 @@ def solve_batch(
             )
             for i in stalled:
                 yb, wb, vb = out.y[i], out.w[i], out.v[i]
-                sb = np.asarray(A[i] @ jnp.asarray(yb) - b[i])
+                sb = np.asarray(A[i], float) @ np.asarray(yb) - np.asarray(b[i], float)
                 if not (
                     np.all(np.isfinite(yb))
                     and np.all(np.isfinite(vb))

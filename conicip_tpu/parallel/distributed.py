@@ -29,6 +29,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..cones.spec import ConeSpec
+
+_HI = jax.lax.Precision.HIGHEST
 from ..kkt.pivot import pivot
 from ..ops.cholesky import cho_solve, cholesky
 
@@ -49,7 +51,7 @@ def distributed_normal_matrix(Q, A, dinv, mesh: Mesh, axis: str):
         Atil = A_blk * dinv_blk[:, None]
         # out_specs is replicated, so Q (already replicated) is added once
         # on every device to the identical psum result.
-        return Qr + jax.lax.psum(Atil.T @ Atil, axis)
+        return Qr + jax.lax.psum(jnp.matmul(Atil.T, Atil, precision=_HI), axis)
 
     return _assemble(Q, A, dinv)
 
@@ -87,7 +89,7 @@ def kktsolver_schur_tp(mesh: Mesh, axis: str = "tp", factor_dtype=None):
                 )
                 def assemble(A_blk, dinv_blk):
                     Atil = A_blk * dinv_blk[:, None]
-                    return jax.lax.psum(Atil.T @ Atil, axis)
+                    return jax.lax.psum(jnp.matmul(Atil.T, Atil, precision=_HI), axis)
 
                 M = Q + assemble(A, dinv)
                 L = cholesky(M, factor_dtype)
@@ -95,7 +97,7 @@ def kktsolver_schur_tp(mesh: Mesh, axis: str = "tp", factor_dtype=None):
                     from jax.scipy.linalg import solve_triangular
 
                     E = solve_triangular(L, G.T.astype(L.dtype), lower=True)
-                    S = E.T @ E
+                    S = jnp.matmul(E.T, E, precision=_HI)
                     Ls = jnp.linalg.cholesky(S)
 
                 def solve2x2(by, bw):
@@ -103,11 +105,11 @@ def kktsolver_schur_tp(mesh: Mesh, axis: str = "tp", factor_dtype=None):
                     if p:
                         from jax.scipy.linalg import solve_triangular
 
-                        rhs = (G @ t - bw).astype(Ls.dtype)
+                        rhs = (jnp.matmul(G, t, precision=_HI) - bw).astype(Ls.dtype)
                         b2 = solve_triangular(Ls, rhs, lower=True)
                         b2 = solve_triangular(Ls, b2, lower=True, trans="T")
                         b2 = b2.astype(t.dtype)
-                        return t - cho_solve(L, G.T @ b2), b2
+                        return t - cho_solve(L, jnp.matmul(G.T, b2, precision=_HI)), b2
                     return t, by[:0]
 
                 return solve2x2

@@ -195,7 +195,8 @@ def conic_ip(
 
     def _warm_from(s: Solution):
         yb, vb, wb = np.asarray(s.y), np.asarray(s.v), np.asarray(s.w)
-        sb = np.asarray(A @ jnp.asarray(yb) - b)
+        # host numpy: the operands are already host-side here
+        sb = np.asarray(A, float) @ yb - np.asarray(b, float)
         if not (
             np.all(np.isfinite(yb))
             and np.all(np.isfinite(vb))

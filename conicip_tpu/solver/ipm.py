@@ -421,6 +421,15 @@ def ipm_solve(
             exhausted = (optBest < sw * opts.optTol) & (
                 R.rmax > 100.0 * optBest
             )
+            # Complementarity collapse: when the μ-residual has fallen
+            # 1000x below the best (still above-tolerance) max-residual,
+            # the corrector is shrinking μ while the factorization cannot
+            # move the stuck dual/primal residual — continuing only walks
+            # into the μ→0 scaling breakdown (NaN → Error). Observed on
+            # R+Q+S mixes where rDu pins at the f32 floor around 3e-5.
+            exhausted = exhausted | (
+                (optBest < sw * opts.optTol) & (R.rCp < 1e-3 * optBest)
+            )
             status = jnp.where(
                 (status == Status.RUNNING) & exhausted, Status.ABANDONED, status
             )

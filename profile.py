@@ -92,7 +92,9 @@ def main() -> None:
                     and resid < 1e-2):
                 break
             Q, c, A, b, G, d = staged_p
-            warm = Vec4(st.y, st.w, st.v, A @ st.y - b)
+            warm = Vec4(st.y, st.w, st.v,
+                        jnp.matmul(A, st.y,
+                                   precision=jax.lax.Precision.HIGHEST) - b)
             st = _solve_warm_jit(Q, c, A, b, G, d, warm, spec=spec,
                                  kktsolver=kkt_next, opts=opts_next)
         return st
@@ -261,7 +263,8 @@ def _run_chained(args, opts, ladder) -> None:
                         y = jnp.where(ok, s.y, jnp.zeros_like(s.y))
                         w = jnp.where(ok, s.w, jnp.zeros_like(s.w))
                         v = jnp.where(ok, s.v, jnp.ones_like(s.v))
-                        warm = Vec4(y, w, v, A @ y - b)
+                        warm = Vec4(y, w, v,
+                                    jnp.matmul(A, y, precision=jax.lax.Precision.HIGHEST) - b)
                         s1 = ipm_solve(Q, c, A, b, G, d, spec, kkt_next,
                                        opts_next, warm=warm)
                         better = (max_resid(s1) <= max_resid(s)) | (
