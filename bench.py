@@ -17,6 +17,7 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 """
 
+import argparse
 import json
 import sys
 import time
@@ -25,6 +26,13 @@ import numpy as np
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--all-backends", action="store_true",
+        help="also time the dense MXU Schur path (doubles the one-time "
+        "compile, ~2-4 min each through the tunnel); default times only "
+        "the production backend (auto-selected: diagonal-Schur here)")
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
 
@@ -48,9 +56,10 @@ def main() -> None:
     from conicip_tpu.kkt import kktsolver_diag
 
     backends = {
-        "schur_dense": _default_kktsolver(jnp.float32),
         "diag": functools.partial(kktsolver_diag, factor_dtype=jnp.float32),
     }
+    if args.all_backends:
+        backends["schur_dense"] = _default_kktsolver(jnp.float32)
 
     rng = np.random.default_rng(0)
     A = jax.device_put(jnp.asarray(np.vstack([np.eye(n), -np.eye(n)])))

@@ -43,21 +43,29 @@ def pivot(kktsolver_2x2, factor_dtype=None):
         Af = A.astype(fd)
         AfT = Af.T
 
+        # (FᵀF)⁻¹ has κ ~ 1/μ near convergence. For pure-R specs it is
+        # DIAGONAL: an f32 apply is eps32-accurate per component with no
+        # cancellation, so the cheap cast path is exact enough (and the
+        # extra emulated-f64 ops were measured to double the already-slow
+        # diag-backend compile). SOC/SDP scalings MIX components — there
+        # an f32 apply carries ~eps32/μ relative error that refinement
+        # cannot contract once it exceeds 1 (the measured ~1e-5 stall
+        # floor on R+Q+S mixes) — so those specs run w2inv in the working
+        # dtype (elementwise / rank-1 / d×d congruences: cheap in f64);
+        # only the big A GEMVs stay in factor dtype either way.
+        amplified = bool(spec.soc_groups or spec.sdp_groups)
+
         def solve3x3gen(F, FinvT):
             solve2x2 = solve2x2gen(F, FinvT)
+            Fi = FinvT if amplified else sc.cast(FinvT, fd)
+            td = wd if amplified else fd
 
             def w2inv(x):
-                # (FᵀF)⁻¹ x = F⁻¹ (F⁻ᵀ x) — in the WORKING dtype: κ(FᵀF)
-                # grows like 1/μ near convergence, so an f32 application
-                # carries ~eps32/μ relative error, which refinement cannot
-                # contract once it exceeds 1 (the measured ~1e-5 stall
-                # floor on R+Q+S mixes). The applies are elementwise (R),
-                # rank-1 (Q), and d×d congruences (S) — cheap in f64 even
-                # on TPU; only the big A GEMVs below stay in factor dtype.
-                return sc.apply_adjoint(spec, FinvT, sc.apply(spec, FinvT, x))
+                # (FᵀF)⁻¹ x = F⁻¹ (F⁻ᵀ x)
+                return sc.apply_adjoint(spec, Fi, sc.apply(spec, Fi, x))
 
             def solve3x3(y, w, v):
-                t1 = w2inv(v)
+                t1 = w2inv(v.astype(td))
                 dy, dw = solve2x2(
                     y
                     + jnp.matmul(AfT, t1.astype(fd), precision=_HI).astype(wd),
@@ -65,9 +73,9 @@ def pivot(kktsolver_2x2, factor_dtype=None):
                 )
                 # Δv = (FᵀF)⁻¹ (v - A Δy)
                 dv = t1 - w2inv(
-                    jnp.matmul(Af, dy.astype(fd), precision=_HI).astype(wd)
+                    jnp.matmul(Af, dy.astype(fd), precision=_HI).astype(td)
                 )
-                return dy, dw, dv
+                return dy, dw, dv.astype(wd)
 
             return solve3x3
 
