@@ -33,7 +33,7 @@ Solvers provided:
 - :func:`pivot` — adapter wrapping any 2x2 solver into the 3x3 interface.
 """
 
-from .diag import kktsolver_diag, separable
+from .diag import kktsolver_diag, separable, separable_batch
 from .pivot import pivot
 from .schur import kktsolver_2x2, kktsolver_schur
 from .qr import kktsolver_qr
@@ -42,6 +42,7 @@ from .lu import kktsolver_lu
 __all__ = [
     "kktsolver_diag",
     "separable",
+    "separable_batch",
     "pivot",
     "kktsolver_2x2",
     "kktsolver_schur",

@@ -36,20 +36,39 @@ from ..cones.spec import ConeSpec
 from ..ops.cholesky import cholesky
 from .pivot import pivot
 
-__all__ = ["kktsolver_diag", "separable"]
+__all__ = ["kktsolver_diag", "separable", "separable_batch"]
 
 _HI = jax.lax.Precision.HIGHEST
 
 
 def separable(Q, A, G, spec: ConeSpec) -> bool:
-    """Host-side applicability check (one-time, numpy, concrete data)."""
+    """Host-side applicability check (one-time, numpy, concrete data).
+
+    Call it on the caller's HOST arrays: running it on device arrays pays
+    a full device→host transfer of Q and A (~100 ms/MB on the tunnel).
+    """
+    if spec.soc_groups or spec.sdp_groups:
+        return False
+    Qh = np.asarray(Q.toarray() if hasattr(Q, "toarray") else Q)
+    if Qh.ndim != 2 or np.count_nonzero(Qh - np.diag(np.diagonal(Qh))):
+        return False
+    Ah = np.asarray(A.toarray() if hasattr(A, "toarray") else A)
+    return bool(np.all(np.count_nonzero(Ah, axis=1) <= 1))
+
+
+def separable_batch(Q, A, spec: ConeSpec) -> bool:
+    """Batched variant of :func:`separable`: the pattern must hold for
+    EVERY instance (leading batch axis on Q and A). Same host-array
+    caveat."""
     if spec.soc_groups or spec.sdp_groups:
         return False
     Qh = np.asarray(Q)
-    if Qh.ndim != 2 or np.count_nonzero(Qh - np.diag(np.diagonal(Qh))):
+    n = Qh.shape[-1]
+    offdiag = ~np.eye(n, dtype=bool)
+    if Qh.ndim != 3 or np.count_nonzero(Qh[:, offdiag]):
         return False
     Ah = np.asarray(A)
-    return bool(np.all(np.count_nonzero(Ah, axis=1) <= 1))
+    return bool(np.all(np.count_nonzero(Ah, axis=2) <= 1))
 
 
 def kktsolver_2x2_diag(Q, A, G, spec: ConeSpec, *, factor_dtype=None):

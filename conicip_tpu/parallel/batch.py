@@ -99,6 +99,7 @@ def solve_batch(
     factor_dtype=None,
     dtype=None,
     warm_start=None,
+    backstop: bool = True,
     **options,
 ) -> BatchSolution:
     """Solve a stack of independent conic QPs (leading batch axis on
@@ -112,8 +113,13 @@ def solve_batch(
     the production pattern for periodic re-solves of drifting problem
     batches. Instances with non-finite warm data are scrubbed to a neutral
     start (the iterate is shifted strictly into the cone either way).
+
+    ``backstop=False`` disables the per-instance full-precision re-solve
+    of stalled f32 instances (used by the checkpoint loop, where an
+    intermediate chunk's "Abandoned" just means "budget not yet spent").
     """
     dtype = dtype or jnp.float64
+    Q_in, A_in = Q, A  # host-side originals for the pattern check below
     Q = jnp.asarray(Q, dtype)
     c = jnp.asarray(c, dtype)
     A = jnp.asarray(A, dtype)
@@ -133,17 +139,14 @@ def solve_batch(
     spec = ConeSpec(cone_dims)
     if kktsolver is None:
         # auto structure exploitation (same policy as conic_ip), but the
-        # separability pattern must hold for EVERY instance in the batch
+        # separability pattern must hold for EVERY instance in the batch.
+        # The check runs on the caller's original (usually host) arrays —
+        # checking the device copies would pull Q and A back through the
+        # tunnel at ~100 ms/MB.
+        from ..kkt.diag import separable_batch
         from ..solver import _default_kktsolver, _diag_kktsolver
 
-        Qh, Ah = np.asarray(Q), np.asarray(A)
-        offdiag = ~np.eye(n, dtype=bool)
-        if (
-            not spec.soc_groups
-            and not spec.sdp_groups
-            and np.count_nonzero(Qh[:, offdiag]) == 0
-            and bool(np.all(np.count_nonzero(Ah, axis=2) <= 1))
-        ):
+        if separable_batch(Q_in, A_in, spec):
             kktsolver = _diag_kktsolver(factor_dtype)
         else:
             kktsolver = _default_kktsolver(factor_dtype)
@@ -198,7 +201,7 @@ def solve_batch(
     # Per-instance robustness backstop (same policy as conic_ip): instances
     # whose f32 factorization was exhausted near a solution are re-solved
     # individually in full precision, warm-started from their best iterate.
-    if factor_dtype == jnp.float32:
+    if factor_dtype == jnp.float32 and backstop:
         from ..solver import Status, _default_kktsolver, _solve_warm_jit
         from ..solver.state import STATUS_NAMES, Vec4
 
@@ -217,7 +220,10 @@ def solve_batch(
             )
             for i in stalled:
                 yb, wb, vb = out.y[i], out.w[i], out.v[i]
-                sb = np.asarray(A[i], float) @ np.asarray(yb) - np.asarray(b[i], float)
+                sb = np.asarray(
+                    jnp.matmul(A[i], jnp.asarray(yb),
+                               precision=jax.lax.Precision.HIGHEST) - b[i]
+                )
                 if not (
                     np.all(np.isfinite(yb))
                     and np.all(np.isfinite(vb))

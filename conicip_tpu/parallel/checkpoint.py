@@ -51,8 +51,9 @@ class SnapshotInfo:
         return self.n_finished == self.batch
 
 
-def _digest(*arrays) -> str:
+def _digest(*arrays, cone_dims=None) -> str:
     h = hashlib.sha256()
+    h.update(repr(list(cone_dims or [])).encode())
     for a in arrays:
         a = np.ascontiguousarray(np.asarray(a, dtype=np.float64))
         h.update(str(a.shape).encode())
@@ -111,7 +112,7 @@ def solve_batch_resumable(
     An, bn = np.asarray(A), np.asarray(b)
     batch = cn.shape[0]
     extra = [np.asarray(x) for x in (G, d) if x is not None]
-    fingerprint = _digest(Qn, cn, An, bn, *extra)
+    fingerprint = _digest(Qn, cn, An, bn, *extra, cone_dims=cone_dims)
 
     # ── resume state ─────────────────────────────────────────────
     iters_done = 0
@@ -135,10 +136,15 @@ def solve_batch_resumable(
 
     out: Optional[BatchSolution] = None
     while iters_done < maxIters and active.any():
-        step = min(chunk_iters, maxIters - iters_done)
+        # constant chunk size: a remainder-sized final chunk would be a
+        # fresh (spec, kktsolver, opts) key and cost a full recompile
+        # (30-90 s through the tunnel) — the global budget is enforced by
+        # the freeze logic below, overshooting by at most chunk_iters-1.
+        step = chunk_iters
+        final = iters_done + step >= maxIters
         bs = solve_batch(
             Q, c, A, b, cone_dims, G, d,
-            maxIters=step, warm_start=warm, **options,
+            maxIters=step, warm_start=warm, backstop=final, **options,
         )
         iters_done += step
 
@@ -170,17 +176,17 @@ def solve_batch_resumable(
         out = bs
 
     # assemble the final BatchSolution from frozen fields
-    final = {k: np.array(v) for k, v in frozen.items()}
+    fin = {k: np.array(v) for k, v in frozen.items()}
     # anything still RUNNING after maxIters is Abandoned (reference
     # ConicIP.jl:936 semantics)
-    final["status"] = np.where(
-        final["status"] == Status.RUNNING, Status.ABANDONED, final["status"]
+    fin["status"] = np.where(
+        fin["status"] == Status.RUNNING, Status.ABANDONED, fin["status"]
     ).astype(np.int32)
     _save(store, dict(
         fingerprint=fingerprint, iters_done=iters_done,
-        warm_y=np.array(out.y if out is not None else final["y"]),
-        warm_w=np.array(out.w if out is not None else final["w"]),
-        warm_v=np.array(out.v if out is not None else final["v"]),
-        **final,
+        warm_y=np.array(out.y if out is not None else fin["y"]),
+        warm_w=np.array(out.w if out is not None else fin["w"]),
+        warm_v=np.array(out.v if out is not None else fin["v"]),
+        **fin,
     ))
-    return BatchSolution(**final)
+    return BatchSolution(**fin)

@@ -118,6 +118,7 @@ def conic_ip(
     back to a cold start.
     """
     dtype = dtype or jnp.float64
+    Q_in, A_in = Q, A  # host-side originals for the auto-backend check
     c = _densify(c, dtype)
     n = c.shape[0]
     Q = _densify(Q, dtype)
@@ -147,7 +148,7 @@ def conic_ip(
     spec = ConeSpec(cone_dims)
     user_kktsolver = kktsolver is not None
     if kktsolver is None:
-        kktsolver = _auto_kktsolver(Q, A, G, spec, factor_dtype)
+        kktsolver = _auto_kktsolver(Q_in, A_in, G, spec, factor_dtype)
     if mixedResiduals is None:
         # With an f32 factorization and f64 iterates, residual mat-vecs are
         # the only remaining emulated-f64 cost on TPU — run them in f32 and
@@ -195,8 +196,11 @@ def conic_ip(
 
     def _warm_from(s: Solution):
         yb, vb, wb = np.asarray(s.y), np.asarray(s.v), np.asarray(s.w)
-        # host numpy: the operands are already host-side here
-        sb = np.asarray(A, float) @ yb - np.asarray(b, float)
+        # one device GEMV + a vector transfer — never pull A to host
+        sb = np.asarray(
+            jnp.matmul(A, jnp.asarray(yb),
+                       precision=jax.lax.Precision.HIGHEST) - b
+        )
         if not (
             np.all(np.isfinite(yb))
             and np.all(np.isfinite(vb))
@@ -277,7 +281,8 @@ def _user_warm_vec(warm_start, A, b, p, dtype) -> Optional[Vec4]:
     ):
         return None
     yj = jnp.asarray(y, dtype)
-    s = A @ yj - b  # shifted strictly into the cone by ipm_solve
+    # shifted strictly into the cone by ipm_solve
+    s = jnp.matmul(A, yj, precision=jax.lax.Precision.HIGHEST) - b
     return Vec4(yj, jnp.asarray(w, dtype), jnp.asarray(v, dtype), s)
 
 

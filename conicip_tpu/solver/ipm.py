@@ -427,8 +427,12 @@ def ipm_solve(
             # move the stuck dual/primal residual — continuing only walks
             # into the μ→0 scaling breakdown (NaN → Error). Observed on
             # R+Q+S mixes where rDu pins at the f32 floor around 3e-5.
+            # The ~improved guard keeps a still-converging solve (which
+            # betters its best residual almost every iteration) alive.
             exhausted = exhausted | (
-                (optBest < sw * opts.optTol) & (R.rCp < 1e-3 * optBest)
+                (optBest < sw * opts.optTol)
+                & (R.rCp < 1e-3 * optBest)
+                & ~improved
             )
             status = jnp.where(
                 (status == Status.RUNNING) & exhausted, Status.ABANDONED, status

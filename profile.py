@@ -202,7 +202,9 @@ def _run_chained(args, opts, ladder) -> None:
     from conicip_tpu.solver.state import Status, Vec4
 
     K = args.chained
-    kkt_fast = _default_kktsolver(jnp.float32)
+    kkt_fast = _default_kktsolver(
+        jnp.float32 if args.factor_dtype == "float32" else None
+    )
     (kkt_mid, opts_mid), (kkt_f64, opts_f64) = ladder
 
     # single dispatch+sync round-trip baseline (tunnel latency)

@@ -49,12 +49,8 @@ def main() -> int:
 
     def record(name: str, status: str, resid: float, want: str):
         nonlocal failures
-        ok = status == want and (
-            want != "Optimal" or resid < 1e-6 or not np.isfinite(resid)
-        )
         # Optimal must also hit tolerance; certificates have no residual bar
-        if want == "Optimal":
-            ok = status == want and resid < 1e-6
+        ok = status == want and (want != "Optimal" or resid < 1e-6)
         if not ok:
             failures += 1
         results.append(dict(name=name, status=status,
