@@ -202,9 +202,7 @@ def _run_chained(args, opts, ladder) -> None:
     from conicip_tpu.solver.state import Status, Vec4
 
     K = args.chained
-    kkt_fast = _default_kktsolver(
-        jnp.float32 if args.factor_dtype == "float32" else None
-    )
+    fast_fd = jnp.float32 if args.factor_dtype == "float32" else None
     (kkt_mid, opts_mid), (kkt_f64, opts_f64) = ladder
 
     # single dispatch+sync round-trip baseline (tunnel latency)
@@ -218,16 +216,44 @@ def _run_chained(args, opts, ladder) -> None:
     rt = float(np.median(rts))
     print(f"# chained mode: K={K} production solves per jit "
           f"(f32 fast path + in-jit backstop ladder); tunnel round trip "
-          f"{rt*1e3:.1f} ms subtracted; equality-constrained families run "
-          f"the direct saddle path (no host-side elimination inside jit)",
+          f"{rt*1e3:.1f} ms subtracted; equality-constrained families use "
+          f"the production null-space elimination (one-time host QR per "
+          f"instance, excluded like any other staging cost)",
           file=sys.stderr)
 
     results = []
     for gen in ALL_GENERATORS:
         probs = [gen(seed=42 + t) for t in range(K)]
-        spec = ConeSpec(probs[0].cone_dims)
         name = probs[0].name
         n = len(probs[0].c)
+
+        # production equality handling under f32 factors: null-space
+        # elimination (solver/__init__.py eliminateEqualities) — a
+        # one-time host transform per instance, done at staging; the
+        # chained jit then solves the reduced problems.
+        eliminated = (
+            fast_fd is not None
+            and probs[0].G is not None
+            and probs[0].G.shape[0] > 0
+        )
+        if eliminated:
+            from conicip_tpu.reduce import eliminate_equalities
+
+            reds = [
+                eliminate_equalities(
+                    np.asarray(p.Q), np.asarray(p.c), np.asarray(p.A),
+                    np.asarray(p.b), np.asarray(p.G), np.asarray(p.d),
+                )
+                for p in probs
+            ]
+            probs = [
+                type(p)(name=p.name, Q=r.Q, c=r.c, A=r.A, b=r.b,
+                        cone_dims=p.cone_dims, G=None, d=None)
+                for p, r in zip(probs, reds)
+            ]
+            n = len(probs[0].c)
+
+        spec = ConeSpec(probs[0].cone_dims)
 
         def stk(get, fill):
             return jnp.asarray(np.stack([
@@ -241,6 +267,12 @@ def _run_chained(args, opts, ladder) -> None:
             stk(lambda p: p.G, np.zeros((0, n))),
             stk(lambda p: p.d, np.zeros(0)),
         ))
+        # production default backend for this family (auto structure
+        # exploitation, host-side check — solver/__init__.py)
+        from conicip_tpu.solver import _auto_kktsolver
+
+        G0 = probs[0].G if probs[0].G is not None else np.zeros((0, n))
+        kkt_fast = _auto_kktsolver(probs[0].Q, probs[0].A, G0, spec, fast_fd)
 
         def max_resid(s):
             return jnp.maximum(s.prFeas, jnp.maximum(s.duFeas, s.muFeas))
