@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from .segment import put_group, put_r, take_group, take_r
 from .spec import ConeSpec
 from .symm import mat, vecm
-from ..ops.smalleig import eigh_refined, eigvalsh_refined
 
 # HIGHEST everywhere: on the v5e the default f32 matmul precision is a
 # single bf16 pass (~2.6e-3 relative error, measured) — fatal for the
@@ -91,7 +90,7 @@ def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     (dsdc!, ConicIP.jl:347-353): eigendecompose Y = U diag(w) Uᵀ, then
     O = U ( (Uᵀ X U)_{ij} / (w_i + w_j) ) Uᵀ — one batched eigh plus matmuls.
     """
-    w, U = eigh_refined(Y)
+    w, U = jnp.linalg.eigh(Y)
     Ut = jnp.swapaxes(U, -1, -2)
     Xt = _mm(_mm(Ut, X), U)
     denom = w[..., :, None] + w[..., None, :]
@@ -159,14 +158,14 @@ def maxstep(spec: ConeSpec, x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
     for g in spec.sdp_groups:
         X = mat(take_group(g, x))
         D = mat(take_group(g, d))
-        wX, U = eigh_refined(X)
+        wX, U = jnp.linalg.eigh(X)
         pd = jnp.all(wX > 0, axis=-1)  # (k,)
         w_safe = jnp.maximum(wX, jnp.finfo(x.dtype).tiny)
         Xih = _mm(U * jax.lax.rsqrt(w_safe)[..., None, :],
                   jnp.swapaxes(U, -1, -2))
         M = _mm(_mm(Xih, D), Xih)
         M = 0.5 * (M + jnp.swapaxes(M, -1, -2))
-        lam = eigvalsh_refined(M)
+        lam = jnp.linalg.eigvalsh(M)
         all_neg = jnp.all(lam < 0, axis=-1)
         mx = jnp.max(jnp.where(lam < 0, -inf, lam), axis=-1)
         a = jnp.where(all_neg, inf, 1.0 / mx)
@@ -191,6 +190,6 @@ def maxstep_to_cone(spec: ConeSpec, x: jnp.ndarray) -> jnp.ndarray:
         steps.append(jnp.min(jnp.where(a < 0, 0.0, -1.0 - a)))
     for g in spec.sdp_groups:
         X = mat(take_group(g, x))
-        mn = jnp.min(eigvalsh_refined(X), axis=-1)
+        mn = jnp.min(jnp.linalg.eigvalsh(X), axis=-1)
         steps.append(jnp.min(jnp.where(mn > 0, 0.0, -1.0 + mn)))
     return jnp.min(jnp.stack(steps))

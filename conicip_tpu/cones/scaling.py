@@ -28,7 +28,6 @@ from .segment import (put_group, put_r, put_rows_group, put_rows_r,
                       take_group, take_r, take_rows_group, take_rows_r)
 from .spec import ConeSpec
 from .symm import mat, vecm
-from ..ops.smalleig import cholesky_small, eigh_refined, solve_tri_refined
 
 # Every matmul in the scaling path carries precision=HIGHEST. The KKT
 # solvers apply these scalings on f32-cast copies (``cast()``), and on the
@@ -127,7 +126,7 @@ def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray) -> NTScaling:
     for g in spec.sdp_groups:
         Z = mat(take_group(g, z))  # (k, d, d)
         Sm = mat(take_group(g, s))
-        Lz = cholesky_small(Z)
+        Lz = jnp.linalg.cholesky(Z)
         LzT = jnp.swapaxes(Lz, -1, -2)
         if _use_svd():
             Ls = jnp.linalg.cholesky(Sm)
@@ -138,14 +137,14 @@ def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray) -> NTScaling:
             # (jnp.linalg.svd crashes the TPU compiler; eigh lowers fine.)
             T = _mm(_mm(LzT, Sm), Lz)
             T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
-            lam2, U = eigh_refined(T)
+            lam2, U = jnp.linalg.eigh(T)
             lam2 = jnp.maximum(lam2, jnp.finfo(z.dtype).tiny)
             # eigh sorts ascending; svd convention is descending — order
             # does not matter for R (any orthogonal mix of equal columns
             # gives the same scaling), so keep eigh's order.
             lam = jnp.sqrt(lam2)
         # R = Lz⁻ᵀ U diag(sqrt(lam))  (nestod_sdc, ConicIP.jl:196-210)
-        X = solve_tri_refined(LzT, U, lower=False)
+        X = jax.scipy.linalg.solve_triangular(LzT, U, lower=False)
         sl = jnp.sqrt(lam)
         R = X * sl[..., None, :]
         # closed-form inverse: R⁻¹ = diag(1/√λ) Uᵀ Lzᵀ

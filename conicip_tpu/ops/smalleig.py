@@ -31,8 +31,17 @@ refinement sweep:
   correction step (two ~free f32 solves + one exact matmul).
 
 On CPU (and for f32 inputs) everything falls through to the stock
-routines. Used by the SDP NT scaling, max-step, and Lyapunov division
-(cones/scaling.py, cones/algebra.py).
+routines.
+
+STATUS: NOT wired into the solver — a measured dead end for the current
+workloads (docs/tpu_performance.md §4): each refined factorization needs
+~15 small f64 matmuls whose ~25-40 µs fixed per-op latency exceeds the
+stock f64 eigh it replaces at congruence sizes (small_sdp regressed
+24→48 ms/solve on-chip), and the f32-consistent Cholesky perturbed the
+NT scaling enough to tip marginal R+Q+S instances into the escalation
+ladder. Kept, with unit tests, as a building block: it wins when the
+matrices are large enough for latency to amortize (d ≳ 100) or when many
+factorizations batch into one op.
 """
 
 from __future__ import annotations
