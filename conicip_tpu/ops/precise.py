@@ -19,15 +19,19 @@ Scheme (Ozaki et al., error-free transformation of dot products):
 - The vector is scaled by a global power of two and split the same way at
   apply time (cheap f64 vector ops).
 - A slice-pair product ``M_k @ m_l`` accumulates integers bounded by
-  ``66^2 < 2^13``; with NBITS=7 a 2048-long f32 accumulation stays below
-  2^24 and is therefore EXACT. Pair columns are combined in f64 (a few
+  ``~66*82 < 2^13`` (operands scaled with 2x headroom so the first slice
+  stays ≤ 2^(NBITS-1)); with NBITS=7 a 2048-long f32 accumulation stays
+  below 2^24 and is therefore EXACT. Pair columns are combined in f64 (a few
   tens of r-length fmas).
 - Truncation tail: pairs with k+l > NSLICES+1 contribute < 2^(-42) of the
   row scale. Accuracy is absolute with respect to ``tau_i * sigma_x`` —
   exactly what residual evaluation needs.
 
-Cost at (2000,1000): ~6 small MXU matmuls + ~50 us of f64 vector work,
-vs ~4 ms for the emulated-f64 path it replaces.
+Cost at (2000,1000): ~7 small MXU matmuls + ~50 us of f64 vector work,
+vs ~4 ms for the emulated-f64 path it replaces. The one-time matrix
+slicing itself runs in f32 with a single exact-f64 re-remainder
+(:func:`_split_matrix`) — the all-f64 split was measured to dominate
+per-solve setup (~7 ms at n=500).
 """
 
 from __future__ import annotations
@@ -37,7 +41,7 @@ import jax.numpy as jnp
 __all__ = ["PreciseMatvec", "NBITS", "NSLICES"]
 
 NBITS = 7  # slice mantissa bits; |m| <= 65 so 2048 products sum below 2^24
-NSLICES = 6  # slices per operand: 6*7 = 42 bits -> ~2e-13 truncation tail
+NSLICES = 7  # slices per operand: 7*7 - 2 headroom bits = 47 -> ~1e-14 tail
 _MAX_EXACT_LEN = 2048  # f32 accumulation of slice products is exact up to this
 
 
@@ -51,6 +55,42 @@ def _split(x, nslices: int):
         mk = jnp.round(rem * scale)
         out.append(mk.astype(jnp.float32))
         rem = rem - mk / scale
+    return out
+
+
+def _split_matrix(x, nslices: int):
+    """Same decomposition contract as :func:`_split`, but for the big
+    one-time MATRIX split: the window arithmetic runs in f32 (~40x cheaper
+    per pass on TPU, where every f64 elementwise pass is emulated — the
+    all-f64 split was measured to dominate per-solve setup at ~7 ms for an
+    n=500 problem), with ONE exact-f64 re-remainder halfway.
+
+    The re-remainder keeps the decomposition sound: windows 1..h come from
+    the f32 image of x (|w_k| ≤ 2^(NBITS-1)+1 as always); the exact f64
+    remainder then differs from the f32-chain remainder by ≤ 2^-24, so
+    window h+1 is bounded by 2^(NBITS-1) + 2^(h·NBITS+NBITS-24) + 1
+    (= ≤ 81 for NBITS=7, h=3) — still far inside the exact-f32-accumulation
+    budget (81·66·2048 < 2^24). Powers of two make every f32 scale/divide
+    exact."""
+    f32 = jnp.float32
+    h = nslices // 2
+    out = []
+    rem32 = x.astype(f32)
+    for k in range(1, h + 1):
+        scale = jnp.asarray(2.0 ** (k * NBITS), f32)
+        mk = jnp.round(rem32 * scale)
+        out.append(mk)
+        rem32 = rem32 - mk / scale
+    # exact f64 remainder after the first h windows (h cheap fused passes)
+    acc = x
+    for k, mk in enumerate(out, start=1):
+        acc = acc - mk.astype(x.dtype) / jnp.asarray(2.0 ** (k * NBITS), x.dtype)
+    rem32 = acc.astype(f32)
+    for k in range(h + 1, nslices + 1):
+        scale = jnp.asarray(2.0 ** (k * NBITS), f32)
+        mk = jnp.round(rem32 * scale)
+        out.append(mk)
+        rem32 = rem32 - mk / scale
     return out
 
 
@@ -74,9 +114,12 @@ class PreciseMatvec:
         self.shape = A.shape
         r, c = A.shape
         rowmax = jnp.max(jnp.abs(A), axis=1) if c else jnp.zeros((r,), A.dtype)
-        self.tau = _pow2_ceil(rowmax)  # (r,)
+        # 2x headroom: a row with max element exactly at a power of two
+        # would otherwise put 2^NBITS (=128) in its first slice, pushing
+        # the worst-case product sum past the exact-f32 budget
+        self.tau = 2.0 * _pow2_ceil(rowmax)  # (r,)
         As = A / self.tau[:, None] if c else A
-        self.slices = _split(As, NSLICES)  # list of (r, c) f32
+        self.slices = _split_matrix(As, NSLICES)  # list of (r, c) f32
         self.dtype = A.dtype
         if c > _MAX_EXACT_LEN:
             # chunked accumulation keeps per-chunk sums exact; cross-chunk
@@ -96,7 +139,7 @@ class PreciseMatvec:
         r, c = self.shape
         if c == 0:
             return jnp.zeros((r,), self.dtype)
-        sigma = _pow2_ceil(jnp.max(jnp.abs(x)))
+        sigma = 2.0 * _pow2_ceil(jnp.max(jnp.abs(x)))
         xs = _split(x / sigma, NSLICES)  # list of (c,) f32 integer slices
 
         # One matmul per A-slice k with all needed x-slices as extra RHS
