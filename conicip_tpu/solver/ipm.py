@@ -434,6 +434,16 @@ def ipm_solve(
                 & (R.rCp < 1e-3 * optBest)
                 & ~improved
             )
+            # ... and the sharper variant when complementarity is already
+            # BELOW tolerance while the max residual sits stuck above it:
+            # every further f32 iteration just shrinks μ (observed to waste
+            # 2-4 iterations before the collapse clause above fires). The
+            # optBest gate keeps infeasibility detection unaffected.
+            exhausted = exhausted | (
+                (optBest < sw * opts.optTol)
+                & (R.rCp < 0.1 * opts.optTol)
+                & ~improved
+            )
             status = jnp.where(
                 (status == Status.RUNNING) & exhausted, Status.ABANDONED, status
             )
