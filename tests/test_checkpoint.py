@@ -81,3 +81,18 @@ def test_iteration_exhaustion_is_abandoned(batch_problem, tmp_path):
                                 chunk_iters=1, maxIters=2, optTol=1e-12)
     assert all(s in ("Abandoned", "Optimal") for s in out.statuses)
     assert "Abandoned" in out.statuses  # 1e-12 in 2 iters is not happening
+
+
+def test_resumable_with_mesh(batch_problem, tmp_path):
+    # durable snapshots compose with batch-axis mesh sharding
+    from conicip_tpu.parallel import make_mesh
+
+    mesh = make_mesh((8,), ("batch",))
+    Q, c, A, b, cones = batched_box_qp(batch=8, n=16)
+    store = str(tmp_path / "snap.npz")
+    out = solve_batch_resumable(Q, c, A, b, cones, store=store,
+                                chunk_iters=4, maxIters=40, mesh=mesh,
+                                optTol=1e-7)
+    assert out.statuses == ["Optimal"] * 8
+    info = load_snapshot(store)
+    assert info is not None and info.done
