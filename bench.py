@@ -68,11 +68,11 @@ def main() -> None:
     b = jax.device_put(jnp.asarray(-np.ones(2 * n)))
     G = jnp.zeros((0, n))
     d = jnp.zeros((0,))
-    Qs = jax.device_put(
-        jnp.asarray(
-            np.stack([np.diag(1.0 + rng.random(n)) for _ in range(2 * K)])
-        )
-    )
+    # ship only the diagonals (~2 MB) and build the dense Qs on device —
+    # staging 128 dense (1000,1000) f64 matrices through the tunnel costs
+    # ~1 GB of transfer for data that is all zeros off-diagonal
+    qdiags = jax.device_put(jnp.asarray(1.0 + rng.random((2 * K, n))))
+    Qs = jax.jit(jax.vmap(jnp.diag))(qdiags)
     cs = jax.device_put(jnp.asarray(rng.standard_normal((2 * K, n))))
 
     def make_solve_all(kkt, count):
@@ -120,14 +120,17 @@ def main() -> None:
         elapsed = t2K - tK
         iters = int(it2K) - int(itK)
         tol_ok = int(bad2K) == 0 and float(res2K) < 1e-6
+        method = "chain-differenced: fixed dispatch+tunnel costs cancel"
         if elapsed <= 0 or iters <= 0:  # tunnel-weather fallback
             elapsed, iters = max(t2K, 1e-9), int(it2K)
+            method = ("FALLBACK raw 2K-chain timing, fixed costs NOT "
+                      "subtracted (differencing came out non-positive — "
+                      "rate understated)")
         results[bname] = (iters / elapsed, tol_ok)
         print(
             f"# backend={jax.default_backend()} kkt={bname} K={K}->2K "
             f"n={n} iters_marginal={iters} max_resid={float(res2K):.2e} "
-            f"tol_ok={tol_ok} ms/iter={elapsed/iters*1e3:.3f} "
-            f"(chain-differenced: fixed dispatch+tunnel costs cancel)",
+            f"tol_ok={tol_ok} ms/iter={elapsed/iters*1e3:.3f} ({method})",
             file=sys.stderr,
         )
 

@@ -23,8 +23,8 @@ Scheme (Ozaki et al., error-free transformation of dot products):
   stays ≤ 2^(NBITS-1)); with NBITS=7 a 2048-long f32 accumulation stays
   below 2^24 and is therefore EXACT. Pair columns are combined in f64 (a few
   tens of r-length fmas).
-- Truncation tail: pairs with k+l > NSLICES+1 contribute < 2^(-42) of the
-  row scale. Accuracy is absolute with respect to ``tau_i * sigma_x`` —
+- Truncation tail: pairs with k+l > NSLICES+1 contribute ~2^(-47) of the
+  row scale (NSLICES=7 at 7 bits, minus 2 headroom bits). Accuracy is absolute with respect to ``tau_i * sigma_x`` —
   exactly what residual evaluation needs.
 
 Cost at (2000,1000): ~7 small MXU matmuls + ~50 us of f64 vector work,

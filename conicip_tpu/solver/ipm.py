@@ -435,13 +435,16 @@ def ipm_solve(
                 & ~improved
             )
             # ... and the sharper variant when complementarity is already
-            # BELOW tolerance while the max residual sits stuck above it:
+            # BELOW tolerance AND well below the stuck residual (the
+            # relative gate keeps a single non-improving uptick on a
+            # still-converging solve from firing):
             # every further f32 iteration just shrinks μ (observed to waste
             # 2-4 iterations before the collapse clause above fires). The
             # optBest gate keeps infeasibility detection unaffected.
             exhausted = exhausted | (
                 (optBest < sw * opts.optTol)
                 & (R.rCp < 0.1 * opts.optTol)
+                & (R.rCp < 0.01 * optBest)
                 & ~improved
             )
             status = jnp.where(

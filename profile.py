@@ -216,9 +216,12 @@ def _run_chained(args, opts, ladder) -> None:
     rt = float(np.median(rts))
     print(f"# chained mode: K={K} production solves per jit "
           f"(f32 fast path + in-jit backstop ladder); tunnel round trip "
-          f"{rt*1e3:.1f} ms subtracted; equality-constrained families use "
-          f"the production null-space elimination (one-time host QR per "
-          f"instance, excluded like any other staging cost). NOTE: an "
+          f"{rt*1e3:.1f} ms subtracted; equality-constrained families "
+          + ("use the production null-space elimination (one-time host QR "
+             "per instance, excluded like any other staging cost)"
+             if args.factor_dtype == "float32"
+             else "run the direct f64 saddle path (no elimination)")
+          + f". NOTE: an "
           f"additional fixed ~70 ms/dispatch beyond the probe round trip "
           f"was measured on this tunnel, so per-solve figures carry "
           f"~70/K ms of overhead — bench.py (K=64) is the sharper number "

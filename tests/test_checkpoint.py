@@ -83,7 +83,7 @@ def test_iteration_exhaustion_is_abandoned(batch_problem, tmp_path):
     assert "Abandoned" in out.statuses  # 1e-12 in 2 iters is not happening
 
 
-def test_resumable_with_mesh(batch_problem, tmp_path):
+def test_resumable_with_mesh(tmp_path):
     # durable snapshots compose with batch-axis mesh sharding
     from conicip_tpu.parallel import make_mesh
 
