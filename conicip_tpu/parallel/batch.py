@@ -143,11 +143,14 @@ def solve_batch(
         # The check runs on the caller's original (usually host) arrays —
         # checking the device copies would pull Q and A back through the
         # tunnel at ~100 ms/MB.
-        from ..kkt.diag import separable_batch
+        from ..kkt.diag import equality_mode, separable_batch
         from ..solver import _default_kktsolver, _diag_kktsolver
 
-        if separable_batch(Q_in, A_in, spec):
-            kktsolver = _diag_kktsolver(factor_dtype)
+        if separable_batch(Q_in, A_in, G, spec):
+            mode = equality_mode(Q_in, G)
+            kktsolver = _diag_kktsolver(
+                factor_dtype, "woodbury" if mode in (None, "none") else mode
+            )
         else:
             kktsolver = _default_kktsolver(factor_dtype)
     opts = IPMOptions(**options)
@@ -198,49 +201,74 @@ def solve_batch(
         st = jax.block_until_ready(solver(Q, c, A, b, G, d))
     out = BatchSolution.from_state(st)
 
-    # Per-instance robustness backstop (same policy as conic_ip): instances
-    # whose f32 factorization was exhausted near a solution are re-solved
-    # individually in full precision, warm-started from their best iterate.
+    # Batched robustness backstop (same ladder as conic_ip): instances whose
+    # f32 tier ended without a definitive status are re-solved AS A BATCH —
+    # first f64-assembled/f32-factored (rescues assembly-cancellation stalls
+    # at ~1/50 the full-f64 cost), then full f64 — warm-started from their
+    # best iterates. Every Abandoned/Error instance escalates regardless of
+    # its residual: infeasible/unbounded instances end with LARGE residuals
+    # and only the full-precision tiers can sharpen their certificates
+    # (the Miles-2 hazard; see conic_ip._stalled).
     if factor_dtype == jnp.float32 and backstop:
-        from ..solver import Status, _default_kktsolver, _solve_warm_jit
-        from ..solver.state import STATUS_NAMES, Vec4
+        from ..solver import Status, _default_kktsolver
+        from ..solver.state import Vec4
 
-        resid = np.maximum(out.prFeas, np.maximum(out.duFeas, out.muFeas))
         stalled = np.nonzero(
             np.isin(out.status, (Status.ABANDONED, Status.ERROR))
-            & np.isfinite(resid)
-            & (resid < 1e-2)
         )[0]
+        ladder = [
+            (_default_kktsolver(jnp.float32, jnp.float64), True),
+            (_default_kktsolver(None), False),
+        ]
         if stalled.size:
             # np.asarray of device arrays is read-only — make fields writable
             for field in BatchSolution.__dataclass_fields__:
                 setattr(out, field, np.array(getattr(out, field)))
-            opts64 = IPMOptions(
-                **{**options, "mixedResiduals": False}
+        for kkt_next, mixed_next in ladder:
+            if not stalled.size:
+                break
+            idx = jnp.asarray(stalled)
+            Qs, cs, As, bs, Gs, ds = (X[idx] for X in (Q, c, A, b, G, d))
+            yb = np.array(out.y[stalled])
+            wb = np.array(out.w[stalled])
+            vb = np.array(out.v[stalled])
+            ok = (
+                np.all(np.isfinite(yb), axis=1)
+                & np.all(np.isfinite(wb), axis=1)
+                & np.all(np.isfinite(vb), axis=1)
+            )[:, None]
+            # non-finite best iterates restart from a neutral point (the
+            # solver shifts it strictly into the cone either way)
+            yj = jnp.asarray(np.where(ok, yb, 0.0), dtype)
+            wj = jnp.asarray(np.where(ok, wb, 0.0), dtype)
+            vj = jnp.asarray(np.where(ok, vb, 1.0), dtype)
+            sj = jnp.einsum("bij,bj->bi", As, yj,
+                            precision=jax.lax.Precision.HIGHEST) - bs
+            opts_next = IPMOptions(**{**options, "mixedResiduals": mixed_next})
+            solver_next = make_batched_warm_solver(spec, kkt_next, opts_next)
+            sti = jax.block_until_ready(
+                solver_next(Qs, cs, As, bs, Gs, ds, Vec4(yj, wj, vj, sj))
             )
-            for i in stalled:
-                yb, wb, vb = out.y[i], out.w[i], out.v[i]
-                sb = np.asarray(
-                    jnp.matmul(A[i], jnp.asarray(yb),
-                               precision=jax.lax.Precision.HIGHEST) - b[i]
-                )
-                if not (
-                    np.all(np.isfinite(yb))
-                    and np.all(np.isfinite(vb))
-                    and np.all(np.isfinite(sb))
-                    and np.all(np.isfinite(wb))
-                ):
-                    continue
-                warm = Vec4(
-                    jnp.asarray(yb), jnp.asarray(wb), jnp.asarray(vb),
-                    jnp.asarray(sb),
-                )
-                sti = jax.block_until_ready(
-                    _solve_warm_jit(
-                        Q[i], c[i], A[i], b[i], G[i], d[i], warm, spec=spec,
-                        kktsolver=_default_kktsolver(None), opts=opts64,
-                    )
-                )
-                for field in BatchSolution.__dataclass_fields__:
-                    getattr(out, field)[i] = np.asarray(getattr(sti, field))
+            cand = BatchSolution.from_state(sti)
+            cand_res = np.maximum(cand.prFeas,
+                                  np.maximum(cand.duFeas, cand.muFeas))
+            out_res = np.maximum(out.prFeas, np.maximum(out.duFeas,
+                                                        out.muFeas))[stalled]
+            # accept a tier's answer if it reached a definitive status or
+            # at least improved the residual (same policy as conic_ip)
+            accept = (
+                ~np.isin(cand.status, (Status.ABANDONED, Status.ERROR))
+                | (cand_res <= out_res)
+            )
+            take = stalled[accept]
+            sub = np.nonzero(accept)[0]
+            for field in BatchSolution.__dataclass_fields__:
+                getattr(out, field)[take] = np.asarray(
+                    getattr(cand, field))[sub]
+            # out.status now holds accepted tiers' statuses; rejected
+            # instances keep their old (still stalled) status
+            stalled = stalled[
+                np.isin(out.status[stalled],
+                        (Status.ABANDONED, Status.ERROR))
+            ]
     return out

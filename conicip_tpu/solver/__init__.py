@@ -46,13 +46,21 @@ def _default_kktsolver(factor_dtype, assemble_dtype=None):
     )
 
 
+def _diag_kktsolver(factor_dtype, eq_mode="woodbury"):
+    # default-normalizing wrapper so _diag_kktsolver(fd) and
+    # _diag_kktsolver(fd, "woodbury") hit the same cache entry
+    return _diag_kktsolver_cached(factor_dtype, eq_mode)
+
+
 @functools.lru_cache(maxsize=None)
-def _diag_kktsolver(factor_dtype):
+def _diag_kktsolver_cached(factor_dtype, eq_mode):
     from ..kkt import kktsolver_diag
 
-    if factor_dtype is None:
+    if factor_dtype is None and eq_mode == "woodbury":
         return kktsolver_diag
-    return functools.partial(kktsolver_diag, factor_dtype=factor_dtype)
+    return functools.partial(
+        kktsolver_diag, factor_dtype=factor_dtype, eq_mode=eq_mode
+    )
 
 
 def _auto_kktsolver(Q, A, G, spec, factor_dtype):
@@ -63,11 +71,15 @@ def _auto_kktsolver(Q, A, G, spec, factor_dtype):
     box-QP family. The reference's analogue is picking its sparse-LU
     backend by hand; here the default does it (detection is a one-time
     host-side pattern check). Everything else takes the dense MXU Schur
-    path."""
-    from ..kkt.diag import separable
+    path. Equalities only qualify when an EXACT diagonal-Schur mode
+    exists for them (:func:`conicip_tpu.kkt.diag.equality_mode`)."""
+    from ..kkt.diag import equality_mode, separable
 
     if separable(Q, A, G, spec):
-        return _diag_kktsolver(factor_dtype)
+        mode = equality_mode(Q, G)
+        return _diag_kktsolver(
+            factor_dtype, "woodbury" if mode in (None, "none") else mode
+        )
     return _default_kktsolver(factor_dtype)
 
 
@@ -118,7 +130,7 @@ def conic_ip(
     back to a cold start.
     """
     dtype = dtype or jnp.float64
-    Q_in, A_in = Q, A  # host-side originals for the auto-backend check
+    Q_in, A_in, G_in = Q, A, G  # host-side originals for the auto-backend check
     c = _densify(c, dtype)
     n = c.shape[0]
     Q = _densify(Q, dtype)
@@ -148,7 +160,7 @@ def conic_ip(
     spec = ConeSpec(cone_dims)
     user_kktsolver = kktsolver is not None
     if kktsolver is None:
-        kktsolver = _auto_kktsolver(Q_in, A_in, G, spec, factor_dtype)
+        kktsolver = _auto_kktsolver(Q_in, A_in, G_in, spec, factor_dtype)
     if mixedResiduals is None:
         # With an f32 factorization and f64 iterates, residual mat-vecs are
         # the only remaining emulated-f64 cost on TPU — run them in f32 and

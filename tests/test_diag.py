@@ -83,6 +83,66 @@ def test_with_equalities(box_qp, rng):
     assert np.linalg.norm(sol.y - ref.y) < 1e-4
 
 
+def test_with_dense_equality_row(box_qp, rng):
+    # A dense budget row sum(y) = 1 makes GᵀG dense: the diagonal-only
+    # augmentation was measurably wrong here (advisor round-1 high finding);
+    # the Woodbury mode must match the dense Schur backend exactly.
+    Q, c, A, b, cones = box_qp
+    n = Q.shape[0]
+    G = np.vstack([np.ones(n), rng.standard_normal(n)])
+    d = np.array([1.0, 0.3])
+    ref = ct.conic_ip(Q, c, A, b, cones, G, d)
+    assert ref.status == "Optimal"
+    for fd in (None, jnp.float32):
+        kkt = functools.partial(kktsolver_diag, factor_dtype=fd,
+                                eq_mode="woodbury")
+        sol = ct.conic_ip(Q, c, A, b, cones, G, d, kktsolver=kkt,
+                          eliminateEqualities=False)
+        assert sol.status == "Optimal"
+        assert max(sol.prFeas, sol.duFeas, sol.muFeas) < OPT
+        assert np.linalg.norm(G @ sol.y - d) < 1e-6
+        # two Optimal-at-1e-6 trajectories agree to ~sqrt(mu) in y and
+        # much tighter in objective
+        assert np.linalg.norm(sol.y - ref.y) < 5e-3
+        assert abs(sol.pobj - ref.pobj) < 1e-4 * (1 + abs(ref.pobj))
+
+
+def test_auto_backend_dense_equality_correct(box_qp):
+    # Default-path end-to-end repro of the advisor's round-1 high finding:
+    # box QP + dense budget row under default settings must be Optimal.
+    Q, c, A, b, cones = box_qp
+    n = Q.shape[0]
+    G = np.ones((1, n))
+    d = np.array([1.0])
+    sol = ct.conic_ip(Q, c, A, b, cones, G, d)
+    assert sol.status == "Optimal"
+    assert max(sol.prFeas, sol.duFeas, sol.muFeas) < OPT
+    assert abs(float(np.sum(sol.y)) - 1.0) < 1e-6
+
+
+def test_equality_mode_detection(box_qp):
+    from conicip_tpu.kkt.diag import equality_mode
+
+    Q, c, A, b, cones = box_qp
+    n = Q.shape[0]
+    assert equality_mode(Q, None) == "none"
+    assert equality_mode(Q, np.zeros((0, n))) == "none"
+    Gd = np.zeros((2, n))
+    Gd[0, 0], Gd[1, 4] = 1.0, 2.0
+    assert equality_mode(Q, Gd) == "disjoint"
+    # a single dense row is NOT disjoint (GᵀG = ggᵀ is dense) but Q's
+    # positive diagonal admits the Woodbury mode
+    assert equality_mode(Q, np.ones((1, n))) == "woodbury"
+    # rank-deficient diagonal disqualifies Woodbury -> dense fallback
+    Q0 = Q.copy()
+    Q0[0, 0] = 0.0
+    assert equality_mode(Q0, np.ones((1, n))) is None
+    from conicip_tpu.kkt import separable
+    from conicip_tpu.cones.spec import ConeSpec
+
+    assert not separable(Q0, A, np.ones((1, n)), ConeSpec(cones))
+
+
 def test_rejects_soc():
     with pytest.raises(ValueError, match="R cones only"):
         kktsolver_diag(

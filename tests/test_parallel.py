@@ -51,6 +51,31 @@ def test_solve_batch_mixed_statuses():
     assert np.all(np.isfinite(bs.y[[0, 1, 3]]))
 
 
+def test_solve_batch_f32_backstop_escalates_infeasible():
+    # An f32-tier instance that ends Abandoned with a LARGE residual (the
+    # signature of infeasibility, not of a near-solution stall) must still
+    # escalate through the backstop ladder and come back certified
+    # Infeasible (advisor round-1 medium finding).
+    import jax.numpy as jnp
+
+    n = 10
+    rng = np.random.default_rng(3)
+    Q = np.stack([np.eye(n)] * 4)
+    c = rng.standard_normal((4, n))
+    A0 = np.vstack([np.eye(n), -np.eye(n)])
+    A = np.stack([A0] * 4)
+    b = np.stack([-np.ones(2 * n)] * 4)
+    b[1] = np.ones(2 * n)  # y ≥ 1 and −y ≥ 1 → infeasible
+    bs = solve_batch(Q, c, A, b, [("R", 2 * n)],
+                     factor_dtype=jnp.float32, mixedResiduals=True,
+                     optTol=1e-7)
+    st = bs.statuses
+    assert st[1] == "Infeasible"
+    assert st[0] == st[2] == st[3] == "Optimal"
+    assert np.maximum(bs.prFeas, np.maximum(bs.duFeas, bs.muFeas))[
+        [0, 2, 3]].max() < 1e-7
+
+
 def test_distributed_normal_matrix():
     mesh = make_mesh((8,), ("tp",))
     rng = np.random.default_rng(0)
