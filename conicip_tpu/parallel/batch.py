@@ -96,7 +96,7 @@ def solve_batch(
     mesh: Optional[Mesh] = None,
     batch_axis: str = "batch",
     kktsolver=None,
-    factor_dtype=None,
+    factor_dtype="auto",
     dtype=None,
     warm_start=None,
     backstop: bool = True,
@@ -119,6 +119,9 @@ def solve_batch(
     intermediate chunk's "Abandoned" just means "budget not yet spent").
     """
     dtype = dtype or jnp.float64
+    from ..solver import resolve_factor_dtype
+
+    factor_dtype = resolve_factor_dtype(factor_dtype)
     Q_in, A_in = Q, A  # host-side originals for the pattern check below
     Q = jnp.asarray(Q, dtype)
     c = jnp.asarray(c, dtype)
@@ -153,6 +156,15 @@ def solve_batch(
             )
         else:
             kktsolver = _default_kktsolver(factor_dtype)
+    if "mixedResiduals" not in options:
+        # same production policy as conic_ip: f32 factors + f64 iterates
+        # run the per-iteration residual mat-vecs in f32 with certified
+        # f64 re-evaluation near tolerance decisions
+        options = {
+            **options,
+            "mixedResiduals": factor_dtype == jnp.float32
+            and dtype == jnp.float64,
+        }
     opts = IPMOptions(**options)
     if opts.verbose:
         raise ValueError("verbose output is not supported in batched mode")

@@ -201,3 +201,25 @@ def test_custom_kktsolver_plugin():
                       kktsolver=pivot(kktsolver_2x2_box), optTol=OPT_TOL)
     assert sol.status == "Optimal"
     assert optcond(sol.y, lambda x: P_box(1, x), lambda x: H @ (x - c)) < TOL
+
+
+def test_factor_dtype_auto_resolution(monkeypatch):
+    # The production configuration must be the out-of-box default on TPU
+    # backends: factor_dtype="auto" -> f32 there, full f64 on CPU.
+    import jax
+    import jax.numpy as jnp
+
+    from conicip_tpu.solver import resolve_factor_dtype
+
+    assert resolve_factor_dtype("auto") is None  # tests run on CPU
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resolve_factor_dtype("auto") == jnp.float32
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    assert resolve_factor_dtype("auto") == jnp.float32
+    # explicit values pass through untouched
+    assert resolve_factor_dtype(None) is None
+    assert resolve_factor_dtype(jnp.float64) == jnp.float64
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        resolve_factor_dtype("fast")
