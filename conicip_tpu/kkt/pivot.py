@@ -10,9 +10,17 @@ We apply the correct ``F⁻¹F⁻ᵀ`` so the pivoted path works on all cones.
 With ``factor_dtype`` set, the adapter's own matrix products (``Aᵀt₁`` and
 ``A·Δy``) run in that precision against a one-time-cast copy of A — the
 IPM's refinement loop against full-precision residuals absorbs the error.
+
+With ``lastmile`` additionally set, the adapter mirrors the inner solver's
+last-mile switch (kkt/schur.py): on iterations where the IPM's ``near``
+flag fires, the adapter's products and ``(FᵀF)⁻¹`` applies run in the
+working dtype — ``t₁ = (FᵀF)⁻¹v`` is μ⁻¹-amplified near convergence, so an
+f32 ``Aᵀt₁`` alone re-injects the noise the inner f64 factors just removed.
 """
 
 from __future__ import annotations
+
+import inspect
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +33,7 @@ __all__ = ["pivot"]
 _HI = jax.lax.Precision.HIGHEST
 
 
-def pivot(kktsolver_2x2, factor_dtype=None):
+def pivot(kktsolver_2x2, factor_dtype=None, lastmile=False):
     """Wrap a 2x2 solver factory into a 3x3 one.
 
     The inner solver handles the Schur system::
@@ -38,6 +46,10 @@ def pivot(kktsolver_2x2, factor_dtype=None):
 
     def kktsolver(Q, A, G, spec: ConeSpec):
         solve2x2gen = kktsolver_2x2(Q, A, G, spec)
+        try:
+            fwd_near = "near" in inspect.signature(solve2x2gen).parameters
+        except (TypeError, ValueError):  # pragma: no cover
+            fwd_near = False
         wd = Q.dtype
         fd = wd if factor_dtype is None else factor_dtype
         Af = A.astype(fd)
@@ -54,28 +66,51 @@ def pivot(kktsolver_2x2, factor_dtype=None):
         # dtype (elementwise / rank-1 / d×d congruences: cheap in f64);
         # only the big A GEMVs stay in factor dtype either way.
         amplified = bool(spec.soc_groups or spec.sdp_groups)
+        lm = bool(lastmile) and fd != wd
 
-        def solve3x3gen(F, FinvT):
-            solve2x2 = solve2x2gen(F, FinvT)
-            Fi = FinvT if amplified else sc.cast(FinvT, fd)
-            td = wd if amplified else fd
+        def _mk_solve3(solve2x2, Ax, AxT, Fi_x, td_x):
+            pd = Ax.dtype  # product dtype of the big A GEMVs
 
             def w2inv(x):
                 # (FᵀF)⁻¹ x = F⁻¹ (F⁻ᵀ x)
-                return sc.apply_adjoint(spec, Fi, sc.apply(spec, Fi, x))
+                return sc.apply_adjoint(spec, Fi_x, sc.apply(spec, Fi_x, x))
 
             def solve3x3(y, w, v):
-                t1 = w2inv(v.astype(td))
+                t1 = w2inv(v.astype(td_x))
                 dy, dw = solve2x2(
                     y
-                    + jnp.matmul(AfT, t1.astype(fd), precision=_HI).astype(wd),
+                    + jnp.matmul(AxT, t1.astype(pd), precision=_HI).astype(wd),
                     w,
                 )
                 # Δv = (FᵀF)⁻¹ (v - A Δy)
                 dv = t1 - w2inv(
-                    jnp.matmul(Af, dy.astype(fd), precision=_HI).astype(td)
+                    jnp.matmul(Ax, dy.astype(pd), precision=_HI).astype(td_x)
                 )
                 return dy, dw, dv.astype(wd)
+
+            return solve3x3
+
+        def solve3x3gen(F, FinvT, near=None):
+            # the per-iteration "near tolerance" hint from the IPM flows
+            # through to inner solvers that can use it (last-mile switch)
+            solve2x2 = (
+                solve2x2gen(F, FinvT, near=near)
+                if fwd_near
+                else solve2x2gen(F, FinvT)
+            )
+            Fi = FinvT if amplified else sc.cast(FinvT, fd)
+            td = wd if amplified else fd
+            fast3 = _mk_solve3(solve2x2, Af, AfT, Fi, td)
+            if not (lm and near is not None):
+                return fast3
+            slow3 = _mk_solve3(solve2x2, A, A.T, FinvT, wd)
+
+            def solve3x3(y, w, v):
+                return jax.lax.cond(
+                    near,
+                    lambda: slow3(y, w, v),
+                    lambda: fast3(y, w, v),
+                )
 
             return solve3x3
 

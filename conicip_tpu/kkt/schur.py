@@ -23,6 +23,20 @@ while a (n,n) GEMV is ~7 us of MXU/VPU work, and the predictor + corrector
 one matrix triangular solve (L⁻¹, blocked and matmul-rich in XLA) for
 GEMV-only solves is a large win. The explicit inverse's extra rounding is
 bounded by κ(L)·eps_f32 per apply — exactly what refinement corrects.
+
+Last-mile full-precision iterations (``lastmile=True``): near convergence
+κ(M) ~ 1/μ exceeds what an f32 factorization can solve — refinement stalls
+a factor ~2 above a 1e-6 tolerance while the final Newton step injects f32
+noise into the dual residual (measured: duFeas jumps 1e-8 → 1e-4 on the
+iteration after the stall). Rather than dying one iteration short and
+paying a warm-started full-f64 ladder re-dispatch (solver/__init__.py), the
+generator accepts the IPM's per-iteration ``near`` flag (rmax within
+``residualSwitch``× of tolerance) and switches the ENTIRE
+assemble+factor+solve path to the working dtype under a ``lax.cond``
+INSIDE the same while_loop — only the final one or two iterations pay the
+f64 factorization, and exactly one of the two paths executes per
+iteration. Static f64 assembly alone (``assemble_dtype``) was measured NOT
+to rescue these stalls; the factorization is the binding constraint.
 """
 
 from __future__ import annotations
@@ -44,7 +58,7 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None,
-                  assemble_dtype=None):
+                  assemble_dtype=None, lastmile=False):
     """Dense-Cholesky 2x2 solver for ``[[M, Gᵀ], [G, 0]]`` with
     ``M = Q + Aᵀ(FᵀF)⁻¹A``.
 
@@ -61,6 +75,10 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None,
         with t = M̃⁻¹(r₁ + γ Gᵀ r₂),  E = M̃⁻¹Gᵀ,  S̃ = G E  (SPD).
 
     γ balances the two terms' scales for conditioning.
+
+    ``assemble_dtype`` pins a (possibly higher) static assembly precision;
+    ``lastmile`` switches the whole solve path to the working dtype on the
+    IPM's per-iteration ``near`` hint (module docstring).
     """
     n = Q.shape[0]
     p = G.shape[0]
@@ -69,83 +87,134 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None,
     # Assembly precision can exceed factorization precision: SOC scalings
     # span ~16 decades near convergence and the Gram assembly cancels
     # catastrophically in f32 — assembling in f64 (emulated, ~1-3 ms) and
-    # factoring the equilibrated result in f32 was measured to rescue a
-    # class of stalls at ~50x less cost than a full-f64 solve.
+    # factoring the equilibrated result in f32 rescues a class of
+    # far-from-tolerance stalls at ~1/50 the full-f64 cost.
     ad = fd if assemble_dtype is None else assemble_dtype
-    Qf = Q.astype(ad)
-    Af = A.astype(ad)
-    Gf = G.astype(fd)
-    GfT = Gf.T
-    If = jnp.eye(n, dtype=fd)
+    lastmile = bool(lastmile) and fd != wd
 
-    # Late IPM iterations drive κ(M) toward 1/μ ≈ 1e10+, beyond what a raw
-    # f32 Cholesky survives. Symmetric Jacobi equilibration (unit diagonal)
-    # plus a tiny relative ridge keeps the factorization finite; the exact
-    # perturbation is corrected by the IPM's refinement loop.
-    ridge = 30.0 * jnp.finfo(fd).eps
-
-    def _equilibrated_inv(Msym, k):
-        # equilibrate in assembly precision, then cast to factor precision
-        dscale = jax.lax.rsqrt(
-            jnp.maximum(jnp.diagonal(Msym), jnp.finfo(Msym.dtype).tiny)
-        )
-        Ms = (Msym * dscale[:, None] * dscale[None, :]).astype(fd)
-        dscale = dscale.astype(fd)
-        Ik = jnp.eye(k, dtype=fd)
-        L = cholesky(Ms + ridge * Ik)
-        # Escalating-ridge retries: SOC rank-1 scaling terms span ~16
-        # decades near convergence and their f32 assembly rounding can
-        # leave Ms indefinite beyond the base ridge — a NaN factor would
-        # otherwise poison the step. Refinement absorbs the extra ridge.
-        for boost in (1e3, 1e6):
-            L = jax.lax.cond(
-                jnp.all(jnp.isfinite(L)),
-                lambda L=L: L,
-                lambda boost=boost: cholesky(Ms + (boost * ridge) * Ik),
-            )
-        # One-time explicit triangular inverse: every subsequent back-solve
-        # becomes two GEMVs (see module docstring for the cost model).
-        Linv = solve_triangular(L, jnp.eye(k, dtype=fd), lower=True)
-
-        def inv_apply(x):
-            # M⁻¹ x = D L⁻ᵀ L⁻¹ D x with D the equilibration scale
-            t = jnp.matmul(Linv, dscale * x, precision=_HI)
-            return dscale * jnp.matmul(Linv.T, t, precision=_HI)
-
-        return inv_apply, Linv, dscale
-
-    def solve2x2gen(F, FinvT):
-        Ff = sc.cast(FinvT, ad)
-        Atil = sc.apply_mat(spec, Ff, Af)  # F⁻ᵀ A, structure-exploiting
-        M = Qf + jnp.matmul(Atil.T, Atil, precision=_HI)
+    def _factors(adt, odt, F, FinvT):
+        """Assemble (precision ``adt``), equilibrate, and factor (precision
+        ``odt``) the augmented Schur system. Returns a flat tuple of
+        ``odt`` arrays: (Linv, dscale, gamma, Es, Lsinv, sscale)."""
+        Qa = Q.astype(adt)
+        Aa = A.astype(adt)
+        Fa = sc.cast(FinvT, adt)
+        Atil = sc.apply_mat(spec, Fa, Aa)  # F⁻ᵀ A, structure-exploiting
+        M = Qa + jnp.matmul(Atil.T, Atil, precision=_HI)
         if p:
+            Ga = G.astype(adt)
             gamma = (jnp.trace(M) / n) / (
-                (jnp.sum(Gf * Gf) / p).astype(ad) + jnp.finfo(ad).tiny
+                jnp.sum(Ga * Ga) / p + jnp.finfo(adt).tiny
             )
             gamma = jnp.where(jnp.isfinite(gamma) & (gamma > 0), gamma, 1.0)
-            Maug = M + gamma * jnp.matmul(GfT, Gf, precision=_HI).astype(ad)
+            M = M + gamma * jnp.matmul(Ga.T, Ga, precision=_HI)
         else:
-            gamma = None
-            Maug = M
-        minv, Linv, dscale = _equilibrated_inv(Maug, n)
+            gamma = jnp.ones((), adt)
 
+        ridge = 30.0 * jnp.finfo(odt).eps
+
+        def _equilibrate(Msym):
+            dscale = jax.lax.rsqrt(
+                jnp.maximum(jnp.diagonal(Msym), jnp.finfo(Msym.dtype).tiny)
+            )
+            Ms = (Msym * dscale[:, None] * dscale[None, :]).astype(odt)
+            return Ms, dscale.astype(odt)
+
+        def _factor_inv(Ms, k):
+            # Late IPM iterations drive κ(M) toward 1/μ ≈ 1e10+, beyond
+            # what a raw f32 Cholesky survives. Jacobi equilibration (unit
+            # diagonal) plus a tiny relative ridge keeps the factorization
+            # finite; the exact perturbation is corrected by refinement.
+            Ik = jnp.eye(k, dtype=odt)
+            L = cholesky(Ms + ridge * Ik)
+            # Escalating-ridge retries: SOC rank-1 scaling terms span ~16
+            # decades near convergence and their rounded assembly can
+            # leave Ms indefinite beyond the base ridge — a NaN factor
+            # would otherwise poison the step.
+            for boost in (1e3, 1e6):
+                L = jax.lax.cond(
+                    jnp.all(jnp.isfinite(L)),
+                    lambda L=L: L,
+                    lambda boost=boost: cholesky(Ms + (boost * ridge) * Ik),
+                )
+            # One-time explicit triangular inverse: every subsequent
+            # back-solve becomes two GEMVs (module docstring cost model).
+            return solve_triangular(L, Ik, lower=True)
+
+        Ms, dscale = _equilibrate(M)
+        Linv = _factor_inv(Ms, n)
         if p:
             # S = G M̃⁻¹ Gᵀ = Ê Êᵀ with Ê = G D L⁻ᵀ in equilibrated space
-            E = jnp.matmul(Linv, dscale[:, None] * GfT, precision=_HI)
+            E = jnp.matmul(Linv, dscale[:, None] * G.T.astype(odt),
+                           precision=_HI)
             S = jnp.matmul(E.T, E, precision=_HI)  # SPD
-            sinv, _, _ = _equilibrated_inv(S, p)
+            Ss, sscale = _equilibrate(S)
+            Lsinv = _factor_inv(Ss, p)
+        else:
+            Lsinv = jnp.zeros((0, 0), odt)
+            sscale = jnp.zeros((0,), odt)
+        return Linv, dscale, gamma.astype(odt), Lsinv, sscale
 
-        gamma_f = gamma.astype(fd) if p else None
+    def _make_solve(facts, Gd, GdT):
+        Linv, dscale, gamma, Lsinv, sscale = facts
+        td = Linv.dtype
+
+        def inv2(Tinv, scale, x):
+            # M⁻¹x = D L⁻ᵀ L⁻¹ D x with D the equilibration scale
+            t = jnp.matmul(Tinv, scale * x, precision=_HI)
+            return scale * jnp.matmul(Tinv.T, t, precision=_HI)
+
+        def solve(by, bw):
+            by = by.astype(td)
+            bw = bw.astype(td)
+            if p:
+                t = inv2(Linv, dscale,
+                         by + gamma * jnp.matmul(GdT, bw, precision=_HI))
+                b2 = inv2(Lsinv, sscale,
+                          jnp.matmul(Gd, t, precision=_HI) - bw)
+                a = t - inv2(Linv, dscale,
+                             jnp.matmul(GdT, b2, precision=_HI))
+                return a.astype(wd), b2.astype(wd)
+            return inv2(Linv, dscale, by).astype(wd), by[:0].astype(wd)
+
+        return solve
+
+    Gf = G.astype(fd)
+    Gw = G  # working-dtype copy for the last-mile path
+
+    def solve2x2gen(F, FinvT, near=None):
+        if not (lastmile and near is not None):
+            facts = _factors(ad, fd, F, FinvT)
+            return _make_solve(facts, Gf, Gf.T)
+
+        # Exactly one of the two factor paths runs per iteration: the f32
+        # fast path while converging, the full-precision path once the IPM
+        # reports the iterate near tolerance.
+        fast_proto = jax.eval_shape(lambda: _factors(ad, fd, F, FinvT))
+        slow_proto = jax.eval_shape(lambda: _factors(wd, wd, F, FinvT))
+        fast = jax.lax.cond(
+            near,
+            lambda: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), fast_proto
+            ),
+            lambda: _factors(ad, fd, F, FinvT),
+        )
+        slow = jax.lax.cond(
+            near,
+            lambda: _factors(wd, wd, F, FinvT),
+            lambda: jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), slow_proto
+            ),
+        )
+        solve_fast = _make_solve(fast, Gf, Gf.T)
+        solve_slow = _make_solve(slow, Gw, Gw.T)
 
         def solve2x2(by, bw):
-            by = by.astype(fd)
-            bw = bw.astype(fd)
-            if p:
-                t = minv(by + gamma_f * jnp.matmul(GfT, bw, precision=_HI))
-                b2 = sinv(jnp.matmul(Gf, t, precision=_HI) - bw)
-                a = t - minv(jnp.matmul(GfT, b2, precision=_HI))
-                return a.astype(wd), b2.astype(wd)
-            return minv(by).astype(wd), by[:0].astype(wd)
+            return jax.lax.cond(
+                near,
+                lambda: solve_slow(by, bw),
+                lambda: solve_fast(by, bw),
+            )
 
         return solve2x2
 
@@ -153,8 +222,10 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None,
 
 
 def kktsolver_schur(Q, A, G, spec: ConeSpec, *, factor_dtype=None,
-                    assemble_dtype=None):
+                    assemble_dtype=None, lastmile=False):
     """Default KKT solver: :func:`pivot` around :func:`kktsolver_2x2`."""
     inner = functools.partial(kktsolver_2x2, factor_dtype=factor_dtype,
-                              assemble_dtype=assemble_dtype)
-    return pivot(inner, factor_dtype=factor_dtype)(Q, A, G, spec)
+                              assemble_dtype=assemble_dtype,
+                              lastmile=lastmile)
+    return pivot(inner, factor_dtype=factor_dtype,
+                 lastmile=lastmile)(Q, A, G, spec)

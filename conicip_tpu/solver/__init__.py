@@ -56,15 +56,21 @@ def _solve_warm_jit(Q, c, A, b, G, d, warm, *, spec, kktsolver, opts):
     return ipm_solve(Q, c, A, b, G, d, spec, kktsolver, opts, warm=warm)
 
 
+def _default_kktsolver(factor_dtype, assemble_dtype=None, lastmile=False):
+    # default-normalizing wrapper so every spelling of the same config
+    # hits one cache entry (lru_cache keys on raw call args)
+    return _default_kktsolver_cached(factor_dtype, assemble_dtype, lastmile)
+
+
 @functools.lru_cache(maxsize=None)
-def _default_kktsolver(factor_dtype, assemble_dtype=None):
+def _default_kktsolver_cached(factor_dtype, assemble_dtype, lastmile):
     from ..kkt import kktsolver_schur
 
-    if factor_dtype is None and assemble_dtype is None:
+    if factor_dtype is None and assemble_dtype is None and not lastmile:
         return kktsolver_schur
     return functools.partial(
         kktsolver_schur, factor_dtype=factor_dtype,
-        assemble_dtype=assemble_dtype,
+        assemble_dtype=assemble_dtype, lastmile=lastmile,
     )
 
 
@@ -102,7 +108,15 @@ def _auto_kktsolver(Q, A, G, spec, factor_dtype):
         return _diag_kktsolver(
             factor_dtype, "woodbury" if mode in (None, "none") else mode
         )
-    return _default_kktsolver(factor_dtype)
+    # single-solve f32 default gets the in-loop last-mile f64 assembly
+    # (kkt/schur.py): a real lax.cond on one instance, so the final one or
+    # two near-tolerance iterations pay ~1-3 ms of emulated-f64 assembly
+    # instead of a ~70 ms ladder re-dispatch. Batched solves keep it off —
+    # under vmap the cond becomes a select and EVERY instance would pay
+    # f64 assembly every iteration.
+    return _default_kktsolver(
+        factor_dtype, lastmile=factor_dtype == jnp.float32
+    )
 
 
 def conic_ip(

@@ -262,6 +262,19 @@ def ipm_solve(
     # LEVEL-1 plugin callback: one-time setup (runs at trace time, outside
     # the iterate loop — QR of Gᵀ etc. happen once, ConicIP.jl:667).
     solve3x3gen = kktsolver(Q, A, G, spec)
+    # Optional contract extension: a generator accepting a ``near`` keyword
+    # receives the per-iteration near-tolerance flag (rmax within
+    # residualSwitch× of optTol) — the hook for last-mile f64 assembly
+    # inside the SAME while_loop (kkt/schur.py docstring). Back-compatible:
+    # plain (F, FinvT) generators are called exactly as before.
+    import inspect as _inspect
+
+    try:
+        _gen_accepts_near = (
+            "near" in _inspect.signature(solve3x3gen).parameters
+        )
+    except (TypeError, ValueError):  # pragma: no cover
+        _gen_accepts_near = False
 
     def make_solve4(lam, F, FinvT, solve3x3):
         """4x4 → 3x3 reduction (solve4x4gen, ConicIP.jl:669-694)."""
@@ -470,10 +483,18 @@ def ipm_solve(
 
         r0, rleft, mu, mubar = R.r0, R.rleft, R.mu, R.mubar
 
+        # near-tolerance flag for the KKT generator (last-mile assembly):
+        # also raised on a non-finite rmax — an f32-assembly breakdown that
+        # higher-precision assembly may rescue in place.
+        near_kkt = (R.rmax < sw * opts.optTol) | ~jnp.isfinite(R.rmax)
+
         # ── Predictor / corrector / refinement / step — only while running.
         def take_step(z):
             # LEVEL-2 plugin callback: per-iteration numeric refactorization
-            solve3x3 = solve3x3gen(F, FinvT)
+            if _gen_accepts_near:
+                solve3x3 = solve3x3gen(F, FinvT, near=near_kkt)
+            else:
+                solve3x3 = solve3x3gen(F, FinvT)
             solve4 = make_solve4(lam, F, FinvT, solve3x3)
 
             # Predictor (ConicIP.jl:879-887)

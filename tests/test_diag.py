@@ -167,7 +167,8 @@ def test_default_backend_auto_selects_diag(box_qp):
     rng = np.random.default_rng(0)
     Ad = rng.standard_normal(A.shape)  # dense rows -> not separable
     assert _auto_kktsolver(Q, Ad, np.zeros((0, len(c))), spec,
-                           jnp.float32) is _default_kktsolver(jnp.float32)
+                           jnp.float32) is _default_kktsolver(
+                               jnp.float32, lastmile=True)
 
     # end-to-end through the default path
     import conicip_tpu as ct

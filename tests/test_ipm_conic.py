@@ -150,3 +150,39 @@ def soc_project(x):
         return np.zeros_like(x)
     a = (t + nu) / 2
     return np.concatenate([[a], a * u / nu])
+
+
+def test_lastmile_finishes_without_ladder():
+    # The f32 fast path stalls a factor ~2 above a 1e-6 tolerance on SOC
+    # mixes (the factorization, not the assembly, runs out of precision);
+    # the in-loop last-mile switch must finish the solve INSIDE the same
+    # while_loop. A user-supplied kktsolver disables the escalation ladder,
+    # so reaching Optimal here proves no ladder dispatch was needed.
+    import functools
+
+    import jax.numpy as jnp
+
+    from conicip_tpu.kkt import kktsolver_schur
+    from conicip_tpu.models.generators import many_small_socs, mixed_rq_eq
+
+    for prob in (many_small_socs(), mixed_rq_eq()):
+        plain = ct.conic_ip(
+            *prob.args(),
+            kktsolver=functools.partial(kktsolver_schur,
+                                        factor_dtype=jnp.float32),
+            mixedResiduals=True, eliminateEqualities=False,
+        )
+        lm = ct.conic_ip(
+            *prob.args(),
+            kktsolver=functools.partial(kktsolver_schur,
+                                        factor_dtype=jnp.float32,
+                                        lastmile=True),
+            mixedResiduals=True, eliminateEqualities=False,
+        )
+        f64 = ct.conic_ip(*prob.args(), factor_dtype=None,
+                          eliminateEqualities=False)
+        assert plain.status == "Abandoned"  # the stall this feature fixes
+        assert lm.status == "Optimal"
+        assert max(lm.prFeas, lm.duFeas, lm.muFeas) < 1e-6
+        # finishes at the full-f64 trajectory's iteration count
+        assert lm.Iter <= f64.Iter
