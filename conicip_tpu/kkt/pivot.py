@@ -11,11 +11,13 @@ With ``factor_dtype`` set, the adapter's own matrix products (``Aᵀt₁`` and
 ``A·Δy``) run in that precision against a one-time-cast copy of A — the
 IPM's refinement loop against full-precision residuals absorbs the error.
 
-With ``lastmile`` additionally set, the adapter mirrors the inner solver's
-last-mile switch (kkt/schur.py): on iterations where the IPM's ``near``
-flag fires, the adapter's products and ``(FᵀF)⁻¹`` applies run in the
-working dtype — ``t₁ = (FᵀF)⁻¹v`` is μ⁻¹-amplified near convergence, so an
-f32 ``Aᵀt₁`` alone re-injects the noise the inner f64 factors just removed.
+With ``lastmile`` additionally set, the adapter exposes the two-variant
+``mode`` contract (kkt/schur.py): ``solve3x3gen(F, FinvT, mode="slow")``
+returns a solver whose products and ``(FᵀF)⁻¹`` applies run in the working
+dtype — ``t₁ = (FᵀF)⁻¹v`` is μ⁻¹-amplified near convergence, so an f32
+``Aᵀt₁`` alone re-injects the noise the inner f64 factors just removed.
+The IPM picks the variant with one ``lax.cond`` per iteration; both
+variants are straight-line code with no control flow of their own.
 """
 
 from __future__ import annotations
@@ -47,9 +49,9 @@ def pivot(kktsolver_2x2, factor_dtype=None, lastmile=False):
     def kktsolver(Q, A, G, spec: ConeSpec):
         solve2x2gen = kktsolver_2x2(Q, A, G, spec)
         try:
-            fwd_near = "near" in inspect.signature(solve2x2gen).parameters
+            fwd_mode = "mode" in inspect.signature(solve2x2gen).parameters
         except (TypeError, ValueError):  # pragma: no cover
-            fwd_near = False
+            fwd_mode = False
         wd = Q.dtype
         fd = wd if factor_dtype is None else factor_dtype
         Af = A.astype(fd)
@@ -90,30 +92,27 @@ def pivot(kktsolver_2x2, factor_dtype=None, lastmile=False):
 
             return solve3x3
 
-        def solve3x3gen(F, FinvT, near=None):
-            # the per-iteration "near tolerance" hint from the IPM flows
-            # through to inner solvers that can use it (last-mile switch)
-            solve2x2 = (
-                solve2x2gen(F, FinvT, near=near)
-                if fwd_near
-                else solve2x2gen(F, FinvT)
-            )
+        def _inner(F, FinvT, mode):
+            if fwd_mode:
+                return solve2x2gen(F, FinvT, mode=mode)
+            return solve2x2gen(F, FinvT)
+
+        if not lm:
+
+            def solve3x3gen(F, FinvT):
+                Fi = FinvT if amplified else sc.cast(FinvT, fd)
+                td = wd if amplified else fd
+                return _mk_solve3(_inner(F, FinvT, "fast"), Af, AfT, Fi, td)
+
+            return solve3x3gen
+
+        def solve3x3gen_lm(F, FinvT, mode="fast"):
+            if mode == "slow":
+                return _mk_solve3(_inner(F, FinvT, "slow"), A, A.T, FinvT, wd)
             Fi = FinvT if amplified else sc.cast(FinvT, fd)
             td = wd if amplified else fd
-            fast3 = _mk_solve3(solve2x2, Af, AfT, Fi, td)
-            if not (lm and near is not None):
-                return fast3
-            slow3 = _mk_solve3(solve2x2, A, A.T, FinvT, wd)
+            return _mk_solve3(_inner(F, FinvT, "fast"), Af, AfT, Fi, td)
 
-            def solve3x3(y, w, v):
-                return jax.lax.cond(
-                    near,
-                    lambda: slow3(y, w, v),
-                    lambda: fast3(y, w, v),
-                )
-
-            return solve3x3
-
-        return solve3x3gen
+        return solve3x3gen_lm
 
     return kktsolver

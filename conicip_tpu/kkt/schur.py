@@ -29,14 +29,16 @@ Last-mile full-precision iterations (``lastmile=True``): near convergence
 a factor ~2 above a 1e-6 tolerance while the final Newton step injects f32
 noise into the dual residual (measured: duFeas jumps 1e-8 → 1e-4 on the
 iteration after the stall). Rather than dying one iteration short and
-paying a warm-started full-f64 ladder re-dispatch (solver/__init__.py), the
-generator accepts the IPM's per-iteration ``near`` flag (rmax within
-``residualSwitch``× of tolerance) and switches the ENTIRE
-assemble+factor+solve path to the working dtype under a ``lax.cond``
-INSIDE the same while_loop — only the final one or two iterations pay the
-f64 factorization, and exactly one of the two paths executes per
-iteration. Static f64 assembly alone (``assemble_dtype``) was measured NOT
-to rescue these stalls; the factorization is the binding constraint.
+paying a warm-started full-f64 ladder re-dispatch (solver/__init__.py), a
+``lastmile`` generator exposes TWO static variants via
+``solve3x3gen(F, FinvT, mode="fast"|"slow")`` — the f32 path and the
+full-working-dtype path — and the IPM holds a single ``lax.cond`` per
+iteration that picks one INSIDE the same while_loop (solver/ipm.py). Only
+the final one or two iterations pay the f64 factorization. The variants
+are straight-line code: an earlier design with per-RHS ``lax.cond``s
+measured ~1-2.5 ms/iteration of pure control-flow overhead on v5e. Static
+f64 assembly alone (``assemble_dtype``) was measured NOT to rescue these
+stalls; the factorization is the binding constraint.
 """
 
 from __future__ import annotations
@@ -77,8 +79,9 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None,
     γ balances the two terms' scales for conditioning.
 
     ``assemble_dtype`` pins a (possibly higher) static assembly precision;
-    ``lastmile`` switches the whole solve path to the working dtype on the
-    IPM's per-iteration ``near`` hint (module docstring).
+    ``lastmile`` exposes the two-variant ``mode`` contract so the IPM can
+    switch the whole solve path to the working dtype per iteration
+    (module docstring).
     """
     n = Q.shape[0]
     p = G.shape[0]
@@ -180,45 +183,23 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None,
         return solve
 
     Gf = G.astype(fd)
-    Gw = G  # working-dtype copy for the last-mile path
 
-    def solve2x2gen(F, FinvT, near=None):
-        if not (lastmile and near is not None):
-            facts = _factors(ad, fd, F, FinvT)
-            return _make_solve(facts, Gf, Gf.T)
+    if not lastmile:
 
-        # Exactly one of the two factor paths runs per iteration: the f32
-        # fast path while converging, the full-precision path once the IPM
-        # reports the iterate near tolerance.
-        fast_proto = jax.eval_shape(lambda: _factors(ad, fd, F, FinvT))
-        slow_proto = jax.eval_shape(lambda: _factors(wd, wd, F, FinvT))
-        fast = jax.lax.cond(
-            near,
-            lambda: jax.tree_util.tree_map(
-                lambda s: jnp.zeros(s.shape, s.dtype), fast_proto
-            ),
-            lambda: _factors(ad, fd, F, FinvT),
-        )
-        slow = jax.lax.cond(
-            near,
-            lambda: _factors(wd, wd, F, FinvT),
-            lambda: jax.tree_util.tree_map(
-                lambda s: jnp.zeros(s.shape, s.dtype), slow_proto
-            ),
-        )
-        solve_fast = _make_solve(fast, Gf, Gf.T)
-        solve_slow = _make_solve(slow, Gw, Gw.T)
+        def solve2x2gen(F, FinvT):
+            return _make_solve(_factors(ad, fd, F, FinvT), Gf, Gf.T)
 
-        def solve2x2(by, bw):
-            return jax.lax.cond(
-                near,
-                lambda: solve_slow(by, bw),
-                lambda: solve_fast(by, bw),
-            )
+        return solve2x2gen
 
-        return solve2x2
+    # Two STATIC variants selected by the caller's ``mode`` (the IPM holds
+    # one lax.cond per iteration around the whole step; no control flow
+    # down here, so each variant stays straight-line fusable XLA code).
+    def solve2x2gen_lm(F, FinvT, mode="fast"):
+        if mode == "slow":
+            return _make_solve(_factors(wd, wd, F, FinvT), G, G.T)
+        return _make_solve(_factors(ad, fd, F, FinvT), Gf, Gf.T)
 
-    return solve2x2gen
+    return solve2x2gen_lm
 
 
 def kktsolver_schur(Q, A, G, spec: ConeSpec, *, factor_dtype=None,

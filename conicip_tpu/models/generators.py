@@ -26,6 +26,8 @@ __all__ = [
     "mixed_rq_eq",
     "mixed_rqs",
     "batched_box_qp",
+    "batched_small_sdp",
+    "batched_mixed_rqs",
     "ALL_GENERATORS",
 ]
 
@@ -154,6 +156,48 @@ def batched_box_qp(batch: int, n: int = 100, seed: int = 0):
     A = np.broadcast_to(np.vstack([np.eye(n), -np.eye(n)]), (batch, 2 * n, n)).copy()
     b = np.broadcast_to(-np.ones(2 * n), (batch, 2 * n)).copy()
     return Q, c, A, b, [("R", 2 * n)]
+
+
+def _vecm_np(X: np.ndarray) -> np.ndarray:
+    """Host-side packed √2-scaled upper triangle of a stack of symmetric
+    matrices (the reference ``vecm`` convention, ConicIP.jl:121-151)."""
+    from ..cones.spec import tri_indices
+
+    rows, cols, scale = tri_indices(X.shape[-1])
+    return X[..., rows, cols] * scale
+
+
+def batched_small_sdp(batch: int, k: int = 10, seed: int = 0):
+    """Stacked independent small-SDP instances (shape of profile.jl:71-81):
+    projection of a random symmetric matrix onto the PSD cone under the
+    trace metric — the batched "covariance repair" workload. Distinct data
+    per instance; shared A = I, b = 0."""
+    n = tri_dim(k)
+    rng = np.random.default_rng(seed)
+    C = rng.standard_normal((batch, k, k))
+    C = (C + np.swapaxes(C, -1, -2)) / np.sqrt(2 * k)
+    c = _vecm_np(C)
+    Q = np.broadcast_to(np.eye(n), (batch, n, n)).copy()
+    A = np.broadcast_to(np.eye(n), (batch, n, n)).copy()
+    b = np.zeros((batch, n))
+    return Q, c, A, b, [("S", n)]
+
+
+def batched_mixed_rqs(batch: int, seed: int = 0):
+    """Stacked independent mixed R+Q+S instances (shape of
+    profile.jl:116-131) with distinct linear terms per instance."""
+    n_r, n_q, k_s = 50, 21, 5
+    n_s = tri_dim(k_s)
+    n = n_r + n_q + n_s  # 86
+    rng = np.random.default_rng(seed)
+    Q = np.broadcast_to(np.eye(n), (batch, n, n)).copy()
+    c = rng.standard_normal((batch, n))
+    A = np.broadcast_to(np.eye(n), (batch, n, n)).copy()
+    b0 = np.concatenate(
+        [np.zeros(n_r), [-1.0], np.zeros(n_q - 1), np.zeros(n_s)]
+    )
+    b = np.broadcast_to(b0, (batch, n)).copy()
+    return Q, c, A, b, [("R", n_r), ("Q", n_q), ("S", n_s)]
 
 
 ALL_GENERATORS = [

@@ -262,19 +262,17 @@ def ipm_solve(
     # LEVEL-1 plugin callback: one-time setup (runs at trace time, outside
     # the iterate loop — QR of Gᵀ etc. happen once, ConicIP.jl:667).
     solve3x3gen = kktsolver(Q, A, G, spec)
-    # Optional contract extension: a generator accepting a ``near`` keyword
-    # receives the per-iteration near-tolerance flag (rmax within
-    # residualSwitch× of optTol) — the hook for last-mile f64 assembly
-    # inside the SAME while_loop (kkt/schur.py docstring). Back-compatible:
+    # Optional contract extension: a generator accepting a ``mode`` keyword
+    # exposes two static solve variants ("fast"/"slow") and the IPM holds
+    # ONE lax.cond per iteration choosing between them — the last-mile
+    # full-precision mechanism (kkt/schur.py docstring). Back-compatible:
     # plain (F, FinvT) generators are called exactly as before.
     import inspect as _inspect
 
     try:
-        _gen_accepts_near = (
-            "near" in _inspect.signature(solve3x3gen).parameters
-        )
+        _gen_two_mode = "mode" in _inspect.signature(solve3x3gen).parameters
     except (TypeError, ValueError):  # pragma: no cover
-        _gen_accepts_near = False
+        _gen_two_mode = False
 
     def make_solve4(lam, F, FinvT, solve3x3):
         """4x4 → 3x3 reduction (solve4x4gen, ConicIP.jl:669-694)."""
@@ -334,7 +332,7 @@ def ipm_solve(
     sw = opts.residualSwitch
 
     def body(carry):
-        z, sol, optBest, k, rnorm_prev, rstep_prev, P, drift = carry
+        z, sol, optBest, k, rnorm_prev, rstep_prev, P, drift, lm_on = carry
 
         F = sc.nt_scaling(spec, z.v, z.s)
         FinvT = sc.nt_inv_adjoint(spec, F)
@@ -483,18 +481,21 @@ def ipm_solve(
 
         r0, rleft, mu, mubar = R.r0, R.rleft, R.mu, R.mubar
 
-        # near-tolerance flag for the KKT generator (last-mile assembly):
-        # also raised on a non-finite rmax — an f32-assembly breakdown that
-        # higher-precision assembly may rescue in place.
-        near_kkt = (R.rmax < sw * opts.optTol) | ~jnp.isfinite(R.rmax)
+        # Last-mile trigger for the KKT generator: REACTIVE — fire only on
+        # the stall signature (iterate near tolerance AND this iteration
+        # failed to improve the best residual; healthy solves improve
+        # every iteration, so they never pay the full-precision branch) or
+        # a non-finite residual breakdown. Sticky (lm_on carried): once the
+        # f32 path has demonstrably run out, every remaining iteration
+        # runs the full-precision branch — no f32/f64 sawtooth.
+        lm_on = lm_on | (
+            ((optBest < sw * opts.optTol) & ~improved)
+            | ~jnp.isfinite(R.rmax)
+        )
 
         # ── Predictor / corrector / refinement / step — only while running.
-        def take_step(z):
+        def _take_step_with(solve3x3, z):
             # LEVEL-2 plugin callback: per-iteration numeric refactorization
-            if _gen_accepts_near:
-                solve3x3 = solve3x3gen(F, FinvT, near=near_kkt)
-            else:
-                solve3x3 = solve3x3gen(F, FinvT)
             solve4 = make_solve4(lam, F, FinvT, solve3x3)
 
             # Predictor (ConicIP.jl:879-887)
@@ -595,6 +596,24 @@ def ipm_solve(
                 alpha,
             )
 
+        if _gen_two_mode:
+            # The generator calls happen INSIDE the branches, so only the
+            # selected variant's factorization executes each iteration.
+            def take_step(z):
+                return jax.lax.cond(
+                    lm_on,
+                    lambda z: _take_step_with(
+                        solve3x3gen(F, FinvT, mode="slow"), z
+                    ),
+                    lambda z: _take_step_with(
+                        solve3x3gen(F, FinvT, mode="fast"), z
+                    ),
+                    z,
+                )
+        else:
+            def take_step(z):
+                return _take_step_with(solve3x3gen(F, FinvT), z)
+
         def no_step(z):
             zero = jnp.zeros_like
             return (
@@ -623,10 +642,10 @@ def ipm_solve(
             )
 
         sol = replace(sol, status=status)
-        return z_new, sol, optBest, k + 1, rnorm, rstep, P, drift
+        return z_new, sol, optBest, k + 1, rnorm, rstep, P, drift, lm_on
 
     def cond(carry):
-        _, sol, _, k, _, _, _, _ = carry
+        _, sol, _, k, _, _, _, _, _ = carry
         return (sol.status == Status.RUNNING) & (k <= opts.maxIters)
 
     if opts.verbose:
@@ -644,8 +663,9 @@ def ipm_solve(
         jnp.asarray(0, jnp.int32),
         P0,
         inf,
+        jnp.asarray(False),
     )
-    _, sol, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, carry0)
+    _, sol, _, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, carry0)
 
     # loop exhausted without a status → Abandoned (ConicIP.jl:936)
     sol = replace(
