@@ -83,14 +83,25 @@ def cone_prod(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 # ──────────────────────────────────────────────────────────────
 
 
-def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
+def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray, eig_dtype=None) -> jnp.ndarray:
     """Solve ``Y O + O Y = X`` for symmetric Y, X, batched over leading dims.
 
     TPU-native replacement for the reference's LAPACK ``lyap`` call
     (dsdc!, ConicIP.jl:347-353): eigendecompose Y = U diag(w) Uᵀ, then
     O = U ( (Uᵀ X U)_{ij} / (w_i + w_j) ) Uᵀ — one batched eigh plus matmuls.
+
+    ``eig_dtype`` runs the eigendecomposition (the latency hot spot: an
+    f64 eigh of a 10×10 costs ~0.45 ms on v5e while the f32 one is ~free;
+    f64 eigh computes at only ~5e-7 anyway — the measured NT floor) in a
+    lower precision, with the combination arithmetic kept in the working
+    dtype. Used by the IPM's fast-phase iterations (solver/ipm.py).
     """
-    w, U = jnp.linalg.eigh(Y)
+    wd = Y.dtype
+    if eig_dtype is not None and eig_dtype != wd:
+        w, U = jnp.linalg.eigh(Y.astype(eig_dtype))
+        w, U = w.astype(wd), U.astype(wd)
+    else:
+        w, U = jnp.linalg.eigh(Y)
     Ut = jnp.swapaxes(U, -1, -2)
     Xt = _mm(_mm(Ut, X), U)
     denom = w[..., :, None] + w[..., None, :]
@@ -98,7 +109,8 @@ def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray) -> jnp.ndarray:
     return _mm(_mm(U, O), Ut)
 
 
-def cone_div(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+def cone_div(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray,
+             eig_dtype=None) -> jnp.ndarray:
     if spec.only_r:
         return x / y
     o = jnp.zeros_like(x)
@@ -123,7 +135,7 @@ def cone_div(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     for g in spec.sdp_groups:
         X = mat(take_group(g, x))
         Y = mat(take_group(g, y))
-        o = put_group(g, o, vecm(lyap_solve(Y, X)))
+        o = put_group(g, o, vecm(lyap_solve(Y, X, eig_dtype)))
     return o
 
 
@@ -137,8 +149,13 @@ def _qf(x):
     return 2.0 * x[..., 0] * x[..., 0] - _dot(x, x)
 
 
-def maxstep(spec: ConeSpec, x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
-    inf = jnp.asarray(jnp.inf, x.dtype)
+def maxstep(spec: ConeSpec, x: jnp.ndarray, d: jnp.ndarray,
+            eig_dtype=None) -> jnp.ndarray:
+    """``eig_dtype`` runs the S-cone eigendecompositions in a lower
+    precision (latency argument: see :func:`lyap_solve`); the ~1e-7
+    relative step-length error sits far inside the IPM's 1% DTB margin."""
+    wd = x.dtype
+    inf = jnp.asarray(jnp.inf, wd)
     steps = [inf]
     if spec.nr:
         xr, dr = take_r(spec, x), take_r(spec, d)
@@ -155,21 +172,23 @@ def maxstep(spec: ConeSpec, x: jnp.ndarray, d: jnp.ndarray) -> jnp.ndarray:
         rho2 = dn[:, 1:] - mu[:, None] * xbar[:, 1:]
         a = jnp.linalg.norm(rho2, axis=-1) / sg - rho1
         steps.append(jnp.min(jnp.where(a < 0, inf, 1.0 / a)))
+    ed = wd if eig_dtype is None else eig_dtype
     for g in spec.sdp_groups:
-        X = mat(take_group(g, x))
-        D = mat(take_group(g, d))
+        X = mat(take_group(g, x)).astype(ed)
+        D = mat(take_group(g, d)).astype(ed)
         wX, U = jnp.linalg.eigh(X)
         pd = jnp.all(wX > 0, axis=-1)  # (k,)
-        w_safe = jnp.maximum(wX, jnp.finfo(x.dtype).tiny)
+        w_safe = jnp.maximum(wX, jnp.finfo(ed).tiny)
         Xih = _mm(U * jax.lax.rsqrt(w_safe)[..., None, :],
                   jnp.swapaxes(U, -1, -2))
         M = _mm(_mm(Xih, D), Xih)
         M = 0.5 * (M + jnp.swapaxes(M, -1, -2))
-        lam = jnp.linalg.eigvalsh(M)
+        lam = jnp.linalg.eigvalsh(M).astype(wd)
+        inf_e = jnp.asarray(jnp.inf, wd)
         all_neg = jnp.all(lam < 0, axis=-1)
-        mx = jnp.max(jnp.where(lam < 0, -inf, lam), axis=-1)
-        a = jnp.where(all_neg, inf, 1.0 / mx)
-        a = jnp.where(pd, a, inf)  # X not PD ⇒ Inf (ConicIP.jl:277-280)
+        mx = jnp.max(jnp.where(lam < 0, -inf_e, lam), axis=-1)
+        a = jnp.where(all_neg, inf_e, 1.0 / mx)
+        a = jnp.where(pd, a, inf_e)  # X not PD ⇒ Inf (ConicIP.jl:277-280)
         steps.append(jnp.min(a))
     return jnp.min(jnp.stack(steps))
 

@@ -100,8 +100,17 @@ def _qf(x):
     return 2.0 * x[..., 0] * x[..., 0] - _dot(x, x)
 
 
-def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray) -> NTScaling:
-    """NT scaling F with ``F z = F⁻ᵀ s = λ`` (ConicIP.jl:589-605)."""
+def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray,
+               eig_dtype=None) -> NTScaling:
+    """NT scaling F with ``F z = F⁻ᵀ s = λ`` (ConicIP.jl:589-605).
+
+    ``eig_dtype`` runs the S-cone factorizations (chol + eigh — ~0.4 ms of
+    latency EACH in f64 on v5e, ~free in f32) in a lower precision,
+    returning the scaling upcast to the working dtype. The v5e f64 eigh
+    computes at only ~5e-7 anyway (the measured NT-property floor), so the
+    fast phase loses nothing it actually had; the IPM's last-mile slow
+    branch reverts to full precision (solver/ipm.py).
+    """
     r_d = jnp.sqrt(take_r(spec, s) / take_r(spec, z)) if spec.nr else z[:0]
     soc = []
     for g in spec.soc_groups:
@@ -123,9 +132,11 @@ def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray) -> NTScaling:
         )
         soc.append(SocScaling(d=dvec, u=w, alpha=jnp.ones_like(beta)))
     sdp = []
+    wd = z.dtype
+    ed = wd if eig_dtype is None else eig_dtype
     for g in spec.sdp_groups:
-        Z = mat(take_group(g, z))  # (k, d, d)
-        Sm = mat(take_group(g, s))
+        Z = mat(take_group(g, z)).astype(ed)  # (k, d, d)
+        Sm = mat(take_group(g, s)).astype(ed)
         Lz = jnp.linalg.cholesky(Z)
         LzT = jnp.swapaxes(Lz, -1, -2)
         if _use_svd():
@@ -138,7 +149,7 @@ def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray) -> NTScaling:
             T = _mm(_mm(LzT, Sm), Lz)
             T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
             lam2, U = jnp.linalg.eigh(T)
-            lam2 = jnp.maximum(lam2, jnp.finfo(z.dtype).tiny)
+            lam2 = jnp.maximum(lam2, jnp.finfo(ed).tiny)
             # eigh sorts ascending; svd convention is descending — order
             # does not matter for R (any orthogonal mix of equal columns
             # gives the same scaling), so keep eigh's order.
@@ -149,7 +160,7 @@ def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray) -> NTScaling:
         R = X * sl[..., None, :]
         # closed-form inverse: R⁻¹ = diag(1/√λ) Uᵀ Lzᵀ
         Rinv = _mm(jnp.swapaxes(U, -1, -2), LzT) / sl[..., :, None]
-        sdp.append(SdpScaling(S=R, Sinv=Rinv))
+        sdp.append(SdpScaling(S=R.astype(wd), Sinv=Rinv.astype(wd)))
     return NTScaling(r_d=r_d, soc=tuple(soc), sdp=tuple(sdp))
 
 

@@ -274,11 +274,13 @@ def ipm_solve(
     except (TypeError, ValueError):  # pragma: no cover
         _gen_two_mode = False
 
-    def make_solve4(lam, F, FinvT, solve3x3):
+    def make_solve4(lam, F, FinvT, solve3x3, eig_dtype=None):
         """4x4 → 3x3 reduction (solve4x4gen, ConicIP.jl:669-694)."""
 
         def solve4(r: Vec4) -> Vec4:
-            t1 = sc.apply_adjoint(spec, F, ca.cone_div(spec, r.s, lam))
+            t1 = sc.apply_adjoint(
+                spec, F, ca.cone_div(spec, r.s, lam, eig_dtype)
+            )
             dy, dw, dv = solve3x3(r.y, r.w, r.v + t1)
             ds = t1 - sc.apply_adjoint(spec, F, sc.apply(spec, F, dv))
             return Vec4(dy, dw, dv, ds)
@@ -331,10 +333,29 @@ def ipm_solve(
 
     sw = opts.residualSwitch
 
+    # Fast-phase low-precision decompositions: when the in-loop escalation
+    # contract is available AND the spec has S cones, the fast iterations
+    # run every small-matrix eigh/chol/eigvals (NT scaling, max-step,
+    # Lyapunov division) in f32 — each costs ~0.4 ms of latency in f64 on
+    # v5e vs ~free in f32, at the SAME effective accuracy (the f64 eigh
+    # only achieves ~5e-7 there anyway). The slow branch reverts to full
+    # precision, and a non-finite fast iteration escalates instead of
+    # erroring (rescue below).
+    _fast_eig = _gen_two_mode and bool(spec.sdp_groups)
+
     def body(carry):
         z, sol, optBest, k, rnorm_prev, rstep_prev, P, drift, lm_on = carry
+        lm_was = lm_on
 
-        F = sc.nt_scaling(spec, z.v, z.s)
+        if _fast_eig:
+            F = jax.lax.cond(
+                lm_on,
+                lambda: sc.nt_scaling(spec, z.v, z.s),
+                lambda: sc.nt_scaling(spec, z.v, z.s,
+                                      eig_dtype=jnp.float32),
+            )
+        else:
+            F = sc.nt_scaling(spec, z.v, z.s)
         FinvT = sc.nt_inv_adjoint(spec, F)
         lam = sc.apply(spec, F, z.v)  # scaled point: = F⁻ᵀ z.s too
 
@@ -422,6 +443,12 @@ def ipm_solve(
             & jnp.isfinite(R.rPr)
             & jnp.isfinite(R.rCp)
         )
+        if _gen_two_mode:
+            # rescuable in-loop: a non-finite fast-phase iteration (e.g. an
+            # f32 chol of a near-singular Z) freezes this step (the dz_ok
+            # guard) and escalates via lm_on; only a breakdown INSIDE the
+            # full-precision branch is a terminal Error.
+            bad = bad & lm_was
         status = jnp.where((status == Status.RUNNING) & bad, Status.ERROR, status)
         if mixed:
             # f32-factorization exhaustion: once the iterate has been near
@@ -458,6 +485,11 @@ def ipm_solve(
                 & (R.rCp < 0.01 * optBest)
                 & ~improved
             )
+            if _gen_two_mode:
+                # in-loop escalation available: a stall is only terminal
+                # once the FULL-precision branch has had its shot — the
+                # reactive trigger fires lm_on on the same signatures
+                exhausted = exhausted & lm_was
             status = jnp.where(
                 (status == Status.RUNNING) & exhausted, Status.ABANDONED, status
             )
@@ -494,15 +526,15 @@ def ipm_solve(
         )
 
         # ── Predictor / corrector / refinement / step — only while running.
-        def _take_step_with(solve3x3, z):
+        def _take_step_with(solve3x3, z, eig_dtype=None):
             # LEVEL-2 plugin callback: per-iteration numeric refactorization
-            solve4 = make_solve4(lam, F, FinvT, solve3x3)
+            solve4 = make_solve4(lam, F, FinvT, solve3x3, eig_dtype)
 
             # Predictor (ConicIP.jl:879-887)
             d_aff = solve4(r0)
             a_aff = jnp.minimum(
-                jnp.minimum(ca.maxstep(spec, z.v, d_aff.v), 1.0),
-                jnp.minimum(ca.maxstep(spec, z.s, d_aff.s), 1.0),
+                jnp.minimum(ca.maxstep(spec, z.v, d_aff.v, eig_dtype), 1.0),
+                jnp.minimum(ca.maxstep(spec, z.s, d_aff.s, eig_dtype), 1.0),
             )
             rho = fts(z.v, a_aff, d_aff.v, z.s, a_aff, d_aff.s) / mubar
             sigma = jnp.clip(rho, 0.0, 1.0) ** 3
@@ -563,8 +595,10 @@ def ipm_solve(
             # Step with fraction-to-boundary (ConicIP.jl:927-932)
             inv_dtb = 1.0 / (1.0 - opts.DTB)
             alpha = jnp.minimum(
-                jnp.minimum(ca.maxstep(spec, z.v, dz.v * inv_dtb), 1.0),
-                jnp.minimum(ca.maxstep(spec, z.s, dz.s * inv_dtb), 1.0),
+                jnp.minimum(
+                    ca.maxstep(spec, z.v, dz.v * inv_dtb, eig_dtype), 1.0),
+                jnp.minimum(
+                    ca.maxstep(spec, z.s, dz.s * inv_dtb, eig_dtype), 1.0),
             )
             # A non-finite direction (e.g. a failed f32 factorization)
             # must not corrupt the iterate: freeze instead, so the solve
@@ -606,7 +640,8 @@ def ipm_solve(
                         solve3x3gen(F, FinvT, mode="slow"), z
                     ),
                     lambda z: _take_step_with(
-                        solve3x3gen(F, FinvT, mode="fast"), z
+                        solve3x3gen(F, FinvT, mode="fast"), z,
+                        eig_dtype=jnp.float32 if _fast_eig else None,
                     ),
                     z,
                 )
