@@ -183,6 +183,33 @@ def batched_small_sdp(batch: int, k: int = 10, seed: int = 0):
     return Q, c, A, b, [("S", n)]
 
 
+def batched_mixed_rq_eq(batch: int, n: int = 60, seed: int = 0):
+    """Stacked independent mixed R+Q instances with a SHARED equality
+    system (shape of profile.jl:99-113 batched): the scenario pattern —
+    per-instance objectives/right-hand sides under one set of coupling
+    equalities — that exercises the batched null-space elimination."""
+    rng = np.random.default_rng(seed)
+    n_q = 21
+    p = 6
+    Q = np.broadcast_to(np.eye(n), (batch, n, n)).copy()
+    c = rng.standard_normal((batch, n))
+    A_q = (rng.random((n_q, n)) < 0.2) * rng.standard_normal((n_q, n))
+    A_q[0, :] = 0.0
+    # every instance's point y_i = s_i·1 is strictly feasible by
+    # construction: R slack s_i·1 > 0, SOC slack (1, s_i·A_q[1:]·1) with
+    # the tail scaled to norm ≤ 0.5 < 1, and d_i = G y_i
+    s = 1.0 + 0.1 * rng.random(batch)
+    tail = np.linalg.norm(A_q[1:] @ np.ones(n)) * s.max()
+    A_q[1:] *= 0.5 / max(tail, 1e-9)
+    A0 = np.vstack([np.eye(n), A_q])
+    A = np.broadcast_to(A0, (batch, n + n_q, n)).copy()
+    b0 = np.concatenate([np.zeros(n), [-1.0], np.zeros(n_q - 1)])
+    b = np.broadcast_to(b0, (batch, n + n_q)).copy()
+    G = rng.standard_normal((p, n))
+    d = s[:, None] * (G @ np.ones(n))[None, :]
+    return Q, c, A, b, [("R", n), ("Q", n_q)], G, d
+
+
 def batched_mixed_rqs(batch: int, seed: int = 0):
     """Stacked independent mixed R+Q+S instances (shape of
     profile.jl:116-131) with distinct linear terms per instance."""

@@ -1,22 +1,51 @@
-"""Intra-problem (tensor) parallelism: distributed Schur assembly.
+"""Intra-problem (tensor) parallelism: sharded Schur assembly + distributed
+factorization.
 
 For one large problem, the per-iteration Schur matrix
 
-    M = Q + Σ_k Atil_kᵀ Atil_k,     Atil = F⁻ᵀ A
+    M = Q + Atilᵀ Atil,     Atil = F⁻ᵀ A
 
 is a sum over constraint-row blocks — the natural sharding axis
-(SURVEY.md §2.3): rows of A (and the cone scaling) are partitioned over
-devices, each device computes its partial ``Atil_kᵀ Atil_k`` on its MXU, and
-one ``psum`` over ICI reduces the partials. The factorization and triangular
-solves then run replicated (O(n³) but identical on every device — cheap to
-keep replicated until n is large enough to justify a distributed Cholesky).
+(SURVEY.md §2.3; semantics anchor: the Schur form the reference factors,
+kktsolvers.jl:275-310). The design here shards BOTH O(·³) stages:
 
-Residual norms and the step-length min reduce the same way (one scalar psum
-per iteration), so communication per iteration is one n×n matrix + a few
-scalars — light relative to the O(mn²) assembly FLOPs.
+1. **Assembly** (O(mn²)): rows of ``Atil`` are partitioned over the mesh
+   axis, each device computes its partial Gram ``Atil_kᵀ Atil_k`` on its
+   MXU, and one ``psum_scatter`` reduces the partials *directly into block
+   rows of M* — the full (n, n) Schur matrix is never materialized on any
+   single device.
+2. **Factorization** (O(n³)): a 1-D block-row panel Cholesky. Each of the
+   ``ntp`` devices owns one block row of M; per panel, the current block
+   column is ``all_gather``-ed (n·r numbers), the r×r diagonal block is
+   factored replicated, and each device applies the trailing update to its
+   own rows — O(n³/ntp) FLOPs per device, O(n²) total communication.
+3. **Back-solves**: instead of distributed triangular solves (latency-bound
+   chains), the factorization phase also computes the explicit inverse
+   ``W = L⁻¹`` *column-sharded* by forward block substitution (same
+   O(n³/ntp) scaling). Every per-RHS solve is then two sharded GEMVs:
+   ``M̃⁻¹x = D·Wᵀ(W(D·x))`` — one ``psum`` and one ``all_gather`` of an
+   n-vector each. This mirrors the replicated production path's
+   explicit-L⁻¹ design (kkt/schur.py) which replaces ~0.12 ms sequential
+   triangular solves with ~7 µs GEMVs on TPU.
 
-Current scope: R-cone specs (row-separable scaling). SOC/SDP groups need
-group-aligned sharding — planned follow-up.
+Cone generality: the NT scaling application ``Atil = F⁻ᵀA`` is computed
+replicated with the structure-exploiting batched kernels
+(cones/scaling.py:apply_mat) — it is O(m·n·d) for cone dimension d, ≪ the
+O(mn²) Gram it feeds — so **all cone specs (R, Q, S and mixes) are
+supported**; nothing about the row-block Gram sum cares about cone
+boundaries. Rows (m) and columns (n) are zero/identity-padded to mesh
+multiples, so no divisibility constraints apply either.
+
+Equalities are handled exactly as in kkt/schur.py (augmented
+``M̃ = M + γGᵀG``, second Schur complement on G): the p×p system is
+replicated (p is small by the time intra-problem sharding pays), with the
+two (n, p) couplings ``Y = W(DGᵀ)`` and ``Z = M̃⁻¹Gᵀ`` computed through the
+sharded W.
+
+Per-iteration communication: one psum_scatter of an (n, n) Gram, ntp
+all_gathers of (n, r) panels, ntp psum-broadcasts of (r, n) L rows, and a
+few n-vector collectives per RHS — all riding ICI, O(n²) total, light
+relative to the O(mn²/ntp + n³/ntp) per-device FLOPs.
 """
 
 from __future__ import annotations
@@ -25,21 +54,30 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from ..cones import scaling as sc
 from ..cones.spec import ConeSpec
+from ..kkt.pivot import pivot
 
 _HI = jax.lax.Precision.HIGHEST
-from ..kkt.pivot import pivot
-from ..ops.cholesky import cho_solve, cholesky
+_I0 = jnp.int32(0)  # axis_index/fori indices are int32; mixing with Python
+# ints would trip dynamic_slice's same-dtype requirement under x64
 
 __all__ = ["kktsolver_schur_tp", "distributed_normal_matrix"]
 
 
+def _ceil_to(x: int, k: int) -> int:
+    return -(-x // k) * k
+
+
 def distributed_normal_matrix(Q, A, dinv, mesh: Mesh, axis: str):
     """Compute ``Q + (diag(dinv) A)ᵀ (diag(dinv) A)`` with rows of A sharded
-    over ``mesh[axis]`` and a single psum reduction."""
+    over ``mesh[axis]`` and a single psum reduction. (Kept as the simple
+    R-cone building block / teaching kernel; the production TP path below
+    generalizes it.)"""
 
     @functools.partial(
         shard_map,
@@ -56,66 +94,370 @@ def distributed_normal_matrix(Q, A, dinv, mesh: Mesh, axis: str):
     return _assemble(Q, A, dinv)
 
 
-def kktsolver_schur_tp(mesh: Mesh, axis: str = "tp", factor_dtype=None):
-    """Row-sharded variant of :func:`~conicip_tpu.kkt.kktsolver_schur`.
+# ──────────────────────────────────────────────────────────────────────
+#  Distributed factorization kernel
+# ──────────────────────────────────────────────────────────────────────
 
-    Returns a KKT solver (same 3-level protocol) whose Schur assembly runs
-    under ``shard_map`` with the constraint rows of A partitioned over
-    ``mesh[axis]``. R-cone specs only (diagonal NT scaling is row-separable).
+
+def _make_factor_kernel(mesh: Mesh, axis: str, n_pad: int, p: int, dtype):
+    """Build the one-shard_map factorization: sharded Gram reduction →
+    block-row M → panel Cholesky → column-sharded explicit inverse.
+
+    Returns ``factor(Atil_pad, Q_pad, G_pad, gamma, ridge) ->
+    (W, dscale, Y, ok)`` where
+
+    - ``W`` (n_pad, n_pad), column-sharded ``P(None, axis)``: L⁻¹ of the
+      equilibrated augmented Schur matrix,
+    - ``dscale`` (n_pad,) replicated: Jacobi equilibration scale,
+    - ``Y`` (n_pad, p) replicated: ``W (D Gᵀ)`` (zero-width when p == 0),
+    - ``ok`` scalar bool: factorization finite on every device.
     """
+    ntp = mesh.shape[axis]
+    r = n_pad // ntp
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), P(None, None), P(), P()),
+        out_specs=(P(None, axis), P(None), P(None, None), P()),
+        check_vma=False,  # all_gather/psum outputs ARE replicated; the
+        # static VMA tracker cannot infer it through the fori_loops
+    )
+    def factor(Atil_blk, Q_blk, G_full, gamma, ridge):
+        me = jax.lax.axis_index(axis)
+        rowid = me * r + jnp.arange(r)
+
+        # -- sharded Gram, reduced straight into my block rows of M --
+        part = jnp.matmul(Atil_blk.T, Atil_blk, precision=_HI)  # (n, n)
+        M_blk = jax.lax.psum_scatter(
+            part, axis, scatter_dimension=0, tiled=True
+        )  # (r, n) = my rows of Σ_k partials
+        M_blk = M_blk + Q_blk
+        if p:
+            Grows = jax.lax.dynamic_slice(
+                G_full.T, (me * r, _I0), (r, p)
+            )  # my rows of Gᵀ
+            M_blk = M_blk + gamma * jnp.matmul(Grows, G_full, precision=_HI)
+
+        # -- Jacobi equilibration (global dscale from the sharded diag) --
+        d_loc = M_blk[jnp.arange(r), rowid]
+        dscale = jax.lax.rsqrt(
+            jnp.maximum(
+                jax.lax.all_gather(d_loc, axis, tiled=True),
+                jnp.finfo(dtype).tiny,
+            )
+        )  # (n_pad,) replicated
+        ds_loc = dscale[rowid]
+        M_blk = M_blk * ds_loc[:, None] * dscale[None, :]
+        M_blk = M_blk.at[jnp.arange(r), rowid].add(ridge)
+
+        # -- Phase 1: right-looking panel Cholesky, L block-row sharded --
+        def panel_step(j, carry):
+            j = jnp.asarray(j, jnp.int32)  # match axis_index's dtype
+            A_loc, L_loc = carry
+            pan_loc = jax.lax.dynamic_slice(A_loc, (_I0, j * r), (r, r))
+            C = jax.lax.all_gather(pan_loc, axis, tiled=True)  # (n_pad, r)
+            D = jax.lax.dynamic_slice(C, (j * r, _I0), (r, r))
+            Ld = jnp.linalg.cholesky(D)
+            # full panel rows: C[i] @ Ld⁻ᵀ; block row j reproduces Ld (up
+            # to roundoff) — overwrite it exactly below.
+            Lp = solve_triangular(Ld, C.T, lower=True).T  # (n_pad, r)
+            Lp_loc = jax.lax.dynamic_slice(Lp, (me * r, _I0), (r, r))
+            Lp_loc = jnp.where(me == j, jnp.tril(Ld), Lp_loc)
+            # trailing update of my rows (columns ≤ (j+1)r become garbage
+            # in A_loc; they are never read again — L is stored in L_loc)
+            A_loc = A_loc - jnp.matmul(Lp_loc, Lp.T, precision=_HI)
+            L_loc = jax.lax.dynamic_update_slice(
+                L_loc, jnp.where(me >= j, Lp_loc, 0.0), (_I0, j * r)
+            )
+            return A_loc, L_loc
+
+        _, L_loc = jax.lax.fori_loop(
+            0, ntp, panel_step, (M_blk, jnp.zeros_like(M_blk))
+        )
+
+        # -- Phase 2: W = L⁻¹ column-sharded, by forward block rows --
+        colid = jnp.arange(n_pad)
+
+        def inv_step(i, W_loc):
+            i = jnp.asarray(i, jnp.int32)  # match axis_index's dtype
+            # psum-broadcast of L block row i (only device i contributes)
+            Lrow = jax.lax.psum(
+                jnp.where(me == i, L_loc, 0.0), axis
+            )  # (r, n_pad)
+            Lrow_m = jnp.where(colid[None, :] < i * r, Lrow, 0.0)
+            S = jnp.matmul(Lrow_m, W_loc, precision=_HI)  # (r, r)
+            Ldi = jax.lax.dynamic_slice(Lrow, (_I0, i * r), (r, r))
+            E = (
+                (i * r + jnp.arange(r))[:, None] == rowid[None, :]
+            ).astype(dtype)
+            Wi = solve_triangular(Ldi, E - S, lower=True)
+            return jax.lax.dynamic_update_slice(W_loc, Wi, (i * r, _I0))
+
+        W_loc = jax.lax.fori_loop(
+            0, ntp, inv_step, jnp.zeros((n_pad, r), dtype)
+        )
+
+        # -- equality coupling Y = W (D Gᵀ), replicated (p is small) --
+        if p:
+            X_loc = ds_loc[:, None] * jax.lax.dynamic_slice(
+                G_full.T, (me * r, _I0), (r, p)
+            )  # my rows of D Gᵀ
+            Y = jax.lax.psum(jnp.matmul(W_loc, X_loc, precision=_HI), axis)
+        else:
+            Y = jnp.zeros((n_pad, 0), dtype)
+
+        ok = jax.lax.psum(
+            jnp.all(jnp.isfinite(W_loc)).astype(jnp.int32), axis
+        ) == ntp
+        return W_loc, dscale, Y, ok
+
+    return factor
+
+
+def _make_apply(mesh: Mesh, axis: str, n_pad: int):
+    """``apply(W, dscale, x) = D Wᵀ W D x`` with W column-sharded — the
+    distributed M̃⁻¹ application (two sharded GEMVs, one psum, one
+    all_gather)."""
+    ntp = mesh.shape[axis]
+    r = n_pad // ntp
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None), P(None)),
+        out_specs=P(None),
+        check_vma=False,
+    )
+    def apply(W_loc, dscale, x):
+        me = jax.lax.axis_index(axis)
+        v = dscale * x
+        v_loc = jax.lax.dynamic_slice(v, (me * r,), (r,))
+        y = jax.lax.psum(
+            jnp.matmul(W_loc, v_loc, precision=_HI), axis
+        )  # W (D x), (n_pad,)
+        u_loc = jnp.matmul(W_loc.T, y, precision=_HI)  # my rows of Wᵀ y
+        u = jax.lax.all_gather(u_loc, axis, tiled=True)
+        return dscale * u
+
+    return apply
+
+
+def _make_matapply_T(mesh: Mesh, axis: str, n_pad: int, p: int):
+    """``matapply(W, Y) = Wᵀ Y`` for the (n_pad, p) equality coupling —
+    each device holds rows ``W_dᵀ Y``; all_gather assembles the result."""
+    ntp = mesh.shape[axis]
+    r = n_pad // ntp
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )
+    def matapply(W_loc, Y):
+        u_loc = jnp.matmul(W_loc.T, Y, precision=_HI)  # (r, p)
+        return jax.lax.all_gather(u_loc, axis, tiled=True)  # (n_pad, p)
+
+    return matapply
+
+
+# ──────────────────────────────────────────────────────────────────────
+#  The TP KKT solver (3-level plugin contract)
+# ──────────────────────────────────────────────────────────────────────
+
+
+def kktsolver_schur_tp(mesh: Mesh, axis: str = "tp", factor_dtype=None,
+                       distributed_factor: bool = True):
+    """Sharded variant of :func:`~conicip_tpu.kkt.kktsolver_schur`.
+
+    Returns a KKT solver (same 3-level protocol) whose Schur assembly —
+    and, with ``distributed_factor=True`` (default), the Cholesky
+    factorization and every back-solve — run under ``shard_map`` over
+    ``mesh[axis]``. All cone specs are supported (module docstring); m and
+    n are padded to mesh multiples internally.
+
+    ``factor_dtype=float32`` runs the sharded assembly + factorization in
+    f32 (the IPM's iterative refinement restores accuracy, exactly as on
+    the single-device production path).
+    """
+    ntp = mesh.shape[axis]
 
     def kktsolver(Q, A, G, spec: ConeSpec):
-        if spec.soc_groups or spec.sdp_groups:
-            raise NotImplementedError(
-                "kktsolver_schur_tp currently supports R-cone specs only"
-            )
-        ntp = mesh.shape[axis]
-        if A.shape[0] % ntp:
-            raise ValueError(
-                f"m={A.shape[0]} must be divisible by mesh axis {axis}={ntp}"
-            )
+        n = Q.shape[0]
+        m = A.shape[0]
+        p = G.shape[0]
+        wd = Q.dtype
+        fd = wd if factor_dtype is None else factor_dtype
 
-        def kkt2x2(Q, A, G, spec):
-            p = G.shape[0]
+        m_pad = _ceil_to(max(m, 1), ntp)
+        n_pad = _ceil_to(n, ntp)
+
+        # Static padded operands (identity-extend Q so the padded Schur
+        # matrix is [[M, 0], [0, I]]; its factor and inverse carry the
+        # identity corner through every formula untouched).
+        Q_pad = jnp.zeros((n_pad, n_pad), fd)
+        Q_pad = Q_pad.at[:n, :n].set(Q.astype(fd))
+        Q_pad = Q_pad.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
+        G_pad = jnp.zeros((p, n_pad), fd).at[:, :n].set(G.astype(fd))
+        Gf = G.astype(fd)
+
+        ridge0 = 30.0 * jnp.finfo(fd).eps
+
+        def kkt2x2(Q_, A_, G_, spec_):
+            if distributed_factor:
+                factor = _make_factor_kernel(mesh, axis, n_pad, p, fd)
+                minv_apply = _make_apply(mesh, axis, n_pad)
+                matapply_T = _make_matapply_T(mesh, axis, n_pad, p)
+            else:
+                factor = minv_apply = matapply_T = None
 
             def solve2x2gen(F, FinvT):
-                dinv = FinvT.r_d  # diagonal F⁻ᵀ for pure R cones
+                # Structure-exploiting scaled rows (replicated: O(m·n·d),
+                # ≪ the sharded O(mn²) Gram) — supports every cone spec.
+                Fi = sc.cast(FinvT, fd)
+                Atil = sc.apply_mat(spec_, Fi, A_.astype(fd))
+                Atil_pad = jnp.zeros((m_pad, n_pad), fd).at[:m, :n].set(Atil)
 
-                @functools.partial(
-                    shard_map,
-                    mesh=mesh,
-                    in_specs=(P(axis, None), P(axis)),
-                    out_specs=P(None, None),
-                )
-                def assemble(A_blk, dinv_blk):
-                    Atil = A_blk * dinv_blk[:, None]
-                    return jax.lax.psum(jnp.matmul(Atil.T, Atil, precision=_HI), axis)
-
-                M = Q + assemble(A, dinv)
-                L = cholesky(M, factor_dtype)
                 if p:
-                    from jax.scipy.linalg import solve_triangular
+                    # γ balances the M and GᵀG scales (kkt/schur.py).
+                    tr_est = (
+                        jnp.trace(Q_pad)
+                        + jnp.sum(Atil_pad * Atil_pad)
+                    ) / n_pad
+                    gamma = tr_est / (jnp.sum(Gf * Gf) / p + jnp.finfo(fd).tiny)
+                    gamma = jnp.where(
+                        jnp.isfinite(gamma) & (gamma > 0), gamma, 1.0
+                    ).astype(fd)
+                else:
+                    gamma = jnp.ones((), fd)
 
-                    E = solve_triangular(L, G.T.astype(L.dtype), lower=True)
-                    S = jnp.matmul(E.T, E, precision=_HI)
-                    Ls = jnp.linalg.cholesky(S)
+                if not distributed_factor:
+                    return _replicated_gen(
+                        mesh, axis, spec_, Atil_pad, Q_pad, G_pad, Gf,
+                        gamma, ridge0, n, n_pad, m_pad, p, wd, fd
+                    )
+
+                W, dscale, Y, ok = factor(
+                    Atil_pad, Q_pad, G_pad, gamma, jnp.asarray(ridge0, fd)
+                )
+                # Escalating-ridge retry (cf. kkt/schur.py): a rounded f32
+                # assembly can leave M̃ indefinite beyond the base ridge.
+                W, dscale, Y, _ = jax.lax.cond(
+                    ok,
+                    lambda: (W, dscale, Y, ok),
+                    lambda: factor(
+                        Atil_pad, Q_pad, G_pad, gamma,
+                        jnp.asarray(1e5 * ridge0, fd),
+                    ),
+                )
+
+                if p:
+                    S = jnp.matmul(Y.T, Y, precision=_HI)  # (p, p) SPD
+                    ss = jax.lax.rsqrt(
+                        jnp.maximum(jnp.diagonal(S), jnp.finfo(fd).tiny)
+                    )
+                    Ss = S * ss[:, None] * ss[None, :]
+                    Ls = jnp.linalg.cholesky(
+                        Ss + ridge0 * jnp.eye(p, dtype=fd)
+                    )
+                    Lsinv = solve_triangular(
+                        Ls, jnp.eye(p, dtype=fd), lower=True
+                    )
+                    # Z = M̃⁻¹Gᵀ = D Wᵀ Y, precomputed once per iteration
+                    Z = dscale[:, None] * matapply_T(W, Y)  # (n_pad, p)
+                else:
+                    Lsinv = jnp.zeros((0, 0), fd)
+                    ss = jnp.zeros((0,), fd)
+                    Z = jnp.zeros((n_pad, 0), fd)
+
+                def sinv(x):
+                    t = jnp.matmul(Lsinv, ss * x, precision=_HI)
+                    return ss * jnp.matmul(Lsinv.T, t, precision=_HI)
 
                 def solve2x2(by, bw):
-                    t = cho_solve(L, by)
+                    by = by.astype(fd)
+                    bw = bw.astype(fd)
+                    rhs = jnp.zeros((n_pad,), fd).at[:n].set(
+                        by + (gamma * jnp.matmul(Gf.T, bw, precision=_HI)
+                              if p else 0.0)
+                    )
+                    t = minv_apply(W, dscale, rhs)
                     if p:
-                        from jax.scipy.linalg import solve_triangular
-
-                        rhs = (jnp.matmul(G, t, precision=_HI) - bw).astype(Ls.dtype)
-                        b2 = solve_triangular(Ls, rhs, lower=True)
-                        b2 = solve_triangular(Ls, b2, lower=True, trans="T")
-                        b2 = b2.astype(t.dtype)
-                        return t - cho_solve(L, jnp.matmul(G.T, b2, precision=_HI)), b2
-                    return t, by[:0]
+                        b2 = sinv(
+                            jnp.matmul(G_pad, t, precision=_HI) - bw
+                        )
+                        a = t - jnp.matmul(Z, b2, precision=_HI)
+                        return a[:n].astype(wd), b2.astype(wd)
+                    return t[:n].astype(wd), by[:0].astype(wd)
 
                 return solve2x2
 
             return solve2x2gen
 
-        return pivot(kkt2x2)(Q, A, G, spec)
+        return pivot(kkt2x2, factor_dtype=factor_dtype)(Q, A, G, spec)
 
     return kktsolver
+
+
+def _replicated_gen(mesh, axis, spec, Atil_pad, Q_pad, G_pad, Gf, gamma,
+                    ridge0, n, n_pad, m_pad, p, wd, fd):
+    """Sharded-assembly / replicated-factorization fallback
+    (``distributed_factor=False``): the round-1 design, generalized to all
+    cone specs via the pre-scaled ``Atil``."""
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=P(axis, None), out_specs=P(None, None),
+    )
+    def assemble(A_blk):
+        return jax.lax.psum(jnp.matmul(A_blk.T, A_blk, precision=_HI), axis)
+
+    M = Q_pad + assemble(Atil_pad)
+    if p:
+        M = M + gamma * jnp.matmul(G_pad.T, G_pad, precision=_HI)
+    dscale = jax.lax.rsqrt(
+        jnp.maximum(jnp.diagonal(M), jnp.finfo(fd).tiny)
+    )
+    Ms = M * dscale[:, None] * dscale[None, :]
+    I = jnp.eye(n_pad, dtype=fd)
+    L = jnp.linalg.cholesky(Ms + ridge0 * I)
+    L = jax.lax.cond(
+        jnp.all(jnp.isfinite(L)),
+        lambda: L,
+        lambda: jnp.linalg.cholesky(Ms + (1e5 * ridge0) * I),
+    )
+    Linv = solve_triangular(L, I, lower=True)
+
+    def minv(x):
+        t = jnp.matmul(Linv, dscale * x, precision=_HI)
+        return dscale * jnp.matmul(Linv.T, t, precision=_HI)
+
+    if p:
+        E = jnp.matmul(Linv, dscale[:, None] * G_pad.T, precision=_HI)
+        S = jnp.matmul(E.T, E, precision=_HI)
+        ss = jax.lax.rsqrt(jnp.maximum(jnp.diagonal(S), jnp.finfo(fd).tiny))
+        Ls = jnp.linalg.cholesky(
+            S * ss[:, None] * ss[None, :] + ridge0 * jnp.eye(p, dtype=fd)
+        )
+        Lsinv = solve_triangular(Ls, jnp.eye(p, dtype=fd), lower=True)
+
+        def sinv(x):
+            t = jnp.matmul(Lsinv, ss * x, precision=_HI)
+            return ss * jnp.matmul(Lsinv.T, t, precision=_HI)
+
+    def solve2x2(by, bw):
+        by = by.astype(fd)
+        bw = bw.astype(fd)
+        rhs = jnp.zeros((n_pad,), fd).at[:n].set(
+            by + (gamma * jnp.matmul(Gf.T, bw, precision=_HI) if p else 0.0)
+        )
+        t = minv(rhs)
+        if p:
+            b2 = sinv(jnp.matmul(G_pad, t, precision=_HI) - bw)
+            a = t - minv(jnp.matmul(G_pad.T, b2, precision=_HI))
+            return a[:n].astype(wd), b2.astype(wd)
+        return t[:n].astype(wd), by[:0].astype(wd)
+
+    return solve2x2

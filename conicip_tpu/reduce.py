@@ -36,7 +36,82 @@ from typing import Callable, Optional
 import numpy as np
 import scipy.linalg
 
-__all__ = ["EqualityReduction", "eliminate_equalities"]
+__all__ = ["EqualityReduction", "eliminate_equalities", "EqualityBasis",
+           "equality_basis"]
+
+
+@dataclass
+class EqualityBasis:
+    """QR-derived bases of one equality system ``G``, reusable across a
+    BATCH of instances that share G (the scenario-solve pattern): the
+    one-time host QR amortizes over the whole batch, and every transform
+    below is a batched matmul on device-friendly operands.
+
+    ``Z`` (n, n−r): orthonormal null-space basis;  ``Q1`` (n, r), ``R``
+    (r, r), ``piv``: the rank-r column-pivoted QR factors of Gᵀ.
+    """
+
+    Z: np.ndarray
+    Q1: np.ndarray
+    R: np.ndarray  # leading r x r block, upper triangular
+    piv: np.ndarray
+    p: int
+    n: int
+
+    @property
+    def rank(self) -> int:
+        return self.R.shape[0]
+
+    def particular(self, d: np.ndarray) -> np.ndarray:
+        """Min-norm ``y0`` with ``G y0 = d`` (solve ``Rᵀ t = d[piv][:r]``,
+        ``y0 = Q1 t``) — batched over a leading axis of d."""
+        r = self.rank
+        d = np.asarray(d, np.float64)
+        if not r:
+            return np.zeros(d.shape[:-1] + (self.n,))
+        dp = d[..., self.piv[:r]]
+        if d.ndim == 1:
+            t = scipy.linalg.solve_triangular(self.R.T, dp, lower=True,
+                                              check_finite=False)
+            return self.Q1 @ t
+        t = scipy.linalg.solve_triangular(self.R.T, dp.T, lower=True,
+                                          check_finite=False)
+        return t.T @ self.Q1.T
+
+    def solve_gt(self, rhs: np.ndarray) -> np.ndarray:
+        """Least-squares ``Gᵀ w = rhs`` (solve ``R t = Q1ᵀ rhs``, scatter
+        through the pivots) — batched over a leading axis of rhs."""
+        r = self.rank
+        rhs = np.asarray(rhs, np.float64)
+        w = np.zeros(rhs.shape[:-1] + (self.p,))
+        if r:
+            if rhs.ndim == 1:
+                t = scipy.linalg.solve_triangular(
+                    self.R, self.Q1.T @ rhs, lower=False,
+                    check_finite=False,  # NaN rows (failed instances in a
+                    # batch) must propagate NaN duals, not raise
+                )
+            else:
+                t = scipy.linalg.solve_triangular(
+                    self.R, (rhs @ self.Q1).T, lower=False,
+                    check_finite=False,
+                ).T
+            w[..., self.piv[:r]] = t
+        return w
+
+
+def equality_basis(G, *, rank_tol: float = 1e-10) -> Optional[EqualityBasis]:
+    """Column-pivoted QR of ``Gᵀ`` packaged for reuse (None when p == 0)."""
+    G = np.asarray(G, np.float64)
+    p, n = G.shape
+    if p == 0:
+        return None
+    Qr, R, piv = scipy.linalg.qr(G.T, mode="full", pivoting=True)
+    diag = np.abs(np.diagonal(R))
+    thresh = rank_tol * (diag[0] if diag.size and diag[0] > 0 else 1.0)
+    r = int(np.sum(diag > thresh))
+    return EqualityBasis(Z=Qr[:, r:], Q1=Qr[:, :r], R=R[:r, :r],
+                         piv=np.asarray(piv), p=p, n=n)
 
 
 @dataclass

@@ -8,7 +8,23 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Vec4", "Status", "SolState", "Solution", "STATUS_NAMES"]
+__all__ = ["Vec4", "Status", "SolState", "Solution", "STATUS_NAMES",
+           "to_host"]
+
+
+def to_host(x) -> np.ndarray:
+    """Device → host, multi-process safe.
+
+    Under ``jax.distributed`` a jit output committed to the global mesh
+    spans non-addressable devices and plain ``np.asarray`` raises; gather
+    it through the coordination service first. Single-process arrays take
+    the plain path untouched.
+    """
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)
 
 
 @jax.tree_util.register_dataclass
@@ -102,15 +118,15 @@ class Solution:
     @classmethod
     def from_state(cls, st: SolState) -> "Solution":
         return cls(
-            y=np.asarray(st.y),
-            w=np.asarray(st.w),
-            v=np.asarray(st.v),
-            status=STATUS_NAMES[int(st.status)],
-            Iter=int(st.Iter),
-            Mu=float(st.Mu),
-            prFeas=float(st.prFeas),
-            duFeas=float(st.duFeas),
-            muFeas=float(st.muFeas),
-            pobj=float(st.pobj),
-            dobj=float(st.dobj),
+            y=to_host(st.y),
+            w=to_host(st.w),
+            v=to_host(st.v),
+            status=STATUS_NAMES[int(to_host(st.status))],
+            Iter=int(to_host(st.Iter)),
+            Mu=float(to_host(st.Mu)),
+            prFeas=float(to_host(st.prFeas)),
+            duFeas=float(to_host(st.duFeas)),
+            muFeas=float(to_host(st.muFeas)),
+            pobj=float(to_host(st.pobj)),
+            dobj=float(to_host(st.dobj)),
         )

@@ -26,3 +26,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Release compiled executables between test modules.
+
+    The full suite compiles hundreds of distinct XLA:CPU programs in one
+    process; with everything retained, the CPU compiler was observed to
+    segfault (deterministically, ~120 programs in) while compiling the
+    sharded-elimination program late in the run. Per-module cache clearing
+    bounds the live-executable count; cross-module cache reuse is minimal
+    anyway (each module compiles its own shapes)."""
+    yield
+    jax.clear_caches()

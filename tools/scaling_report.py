@@ -123,6 +123,22 @@ def main() -> None:
         r"|all-to-all)\b"
     )
 
+    def classify(hlo: str):
+        """Split collectives into data movers vs scalar pred[]/f64[] loop
+        predicates (the batched while_loop's global 'any instance still
+        running' AND — one bit per iteration, inherent to any globally
+        synchronized sharded loop and bandwidth-negligible)."""
+        data, scalar = 0, 0
+        for line in hlo.splitlines():
+            m = COLLECTIVES.search(line)
+            if not m:
+                continue
+            if re.search(r"=\s*(pred|s32|u32|f32|f64)\[\]", line):
+                scalar += 1
+            else:
+                data += 1
+        return data, scalar
+
     def collective_census(ndev: int):
         """Compile the dp-sharded solve and count collectives in the HLO."""
         batch = args.per_device * ndev
@@ -144,16 +160,18 @@ def main() -> None:
             )
         )
         hlo = f.lower(*shapes).compile().as_text()
-        return len(COLLECTIVES.findall(hlo))
+        return classify(hlo)
 
     results = []
     print("── collective census (dp-sharded batched solve) ──")
     for ndev in (1, 2, 4, 8):
         if ndev > ndev_avail:
             break
-        ncoll = collective_census(ndev)
-        print(f"devices={ndev}: {ncoll} collective ops in optimized HLO")
-        results.append(dict(devices=ndev, collectives=ncoll))
+        ndata, nscalar = collective_census(ndev)
+        print(f"devices={ndev}: {ndata} data-moving collective ops "
+              f"(+{nscalar} scalar loop-predicate bits) in optimized HLO")
+        results.append(dict(devices=ndev, collectives=ndata,
+                            scalar_pred_collectives=nscalar))
 
     # tp path: collectives per iteration of the row-sharded Schur assembly
     from conicip_tpu.parallel import kktsolver_schur_tp
@@ -174,10 +192,16 @@ def main() -> None:
         jax.ShapeDtypeStruct((0,), jnp.float64),
     ]
     hlo_tp = ftp.lower(*shp).compile().as_text()
-    ntp = len(COLLECTIVES.findall(hlo_tp))
-    print(f"tp-sharded Schur assembly (2 devices): {ntp} collective ops "
-          f"in the whole solve program")
-    results.append(dict(tp_devices=min(2, ndev_avail), tp_collectives=ntp))
+    found = COLLECTIVES.findall(hlo_tp)
+    by_type = {t: found.count(t) for t in sorted(set(found))}
+    print(f"tp-sharded Schur path (2 devices): {len(found)} collective ops "
+          f"in the whole solve program — {by_type}")
+    print("  (the distributed factorization contributes the "
+          "reduce-scatter [Gram reduction], the panel all-gathers, and the "
+          "L-row psum broadcasts; per-RHS solves one psum + one all_gather)")
+    results.append(dict(tp_devices=min(2, ndev_avail),
+                        tp_collectives=len(found),
+                        tp_collectives_by_type=by_type))
 
     print("── wall clock on the OVERSUBSCRIBED virtual mesh "
           "(not a scaling claim) ──")
