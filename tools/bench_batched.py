@@ -70,7 +70,6 @@ def main() -> None:
     from conicip_tpu.models import generators as gen
     from conicip_tpu.solver import _default_kktsolver
     from conicip_tpu.solver.ipm import IPMOptions, ipm_solve
-    from conicip_tpu.solver.state import Status
 
     B = args.batch
     K = args.K
@@ -130,11 +129,34 @@ def main() -> None:
         Gz = jnp.zeros((0, n))
         dz = jnp.zeros((0,))
 
-        solve_one = jax.vmap(
-            lambda Q, c, A, b: ipm_solve(Q, c, A, b, Gz, dz, spec, kkt,
-                                         opts),
-            in_axes=(0, 0, 0, 0),
-        )
+        # Production ladder, chained form: instances the f32 tier leaves
+        # above tolerance get a warm-started FULL-f64 pass — the same
+        # escalation solve_batch's ladder ends in (and the single-solve
+        # last-mile runs in-loop), fused into the chain step so its cost
+        # is measured, not hidden. Instances the f32 tier already finished
+        # freeze within ~1 full-precision iteration (mask-based core), so
+        # the tier costs ~the stragglers' few f64 iterations.
+        from conicip_tpu.solver import _default_kktsolver as _dk
+        from conicip_tpu.solver.state import Vec4
+
+        kkt2 = _dk(None)
+        opts2 = IPMOptions(optTol=1e-6, mixedResiduals=False, maxIters=20)
+
+        def one_with_rescue(Q, c, A, b):
+            st1 = ipm_solve(Q, c, A, b, Gz, dz, spec, kkt, opts)
+            s1 = jnp.matmul(A, st1.y,
+                            precision=jax.lax.Precision.HIGHEST) - b
+            warm = Vec4(st1.y, jnp.zeros((0,), st1.y.dtype), st1.v, s1)
+            st2 = ipm_solve(Q, c, A, b, Gz, dz, spec, kkt2, opts2,
+                            warm=warm)
+            r1 = jnp.maximum(st1.prFeas,
+                             jnp.maximum(st1.duFeas, st1.muFeas))
+            r2 = jnp.maximum(st2.prFeas,
+                             jnp.maximum(st2.duFeas, st2.muFeas))
+            return (st1.Iter + st2.Iter, jnp.minimum(r1, r2),
+                    (jnp.minimum(r1, r2) < 1e-6))
+
+        solve_rescued = jax.vmap(one_with_rescue, in_axes=(0, 0, 0, 0))
 
         cs = jax.device_put(jnp.asarray(fresh_c(2 * K)))
         Qd = jax.device_put(jnp.asarray(Q))
@@ -146,20 +168,16 @@ def main() -> None:
             def run(cs, Qd, Ad, bd):
                 def body(i, acc):
                     iters, resid, nbad = acc
-                    st = solve_one(Qd, cs[i], Ad, bd)
-                    r = jnp.maximum(st.prFeas,
-                                    jnp.maximum(st.duFeas, st.muFeas))
+                    it, r, ok = solve_rescued(Qd, cs[i], Ad, bd)
                     return (
-                        iters + jnp.sum(st.Iter),
+                        iters + jnp.sum(it),
                         jnp.maximum(resid, jnp.max(r)),
-                        nbad + jnp.sum(
-                            jnp.where(st.status == Status.OPTIMAL, 0, 1)
-                        ),
+                        nbad + jnp.sum(jnp.where(ok, 0, 1)),
                     )
 
                 return jax.lax.fori_loop(
                     0, count, body,
-                    (jnp.int32(0), jnp.float64(0.0), jnp.int32(0)),
+                    (jnp.int64(0), jnp.float64(0.0), jnp.int64(0)),
                 )
 
             return run
