@@ -254,8 +254,14 @@ def solve_batch(
         stalled = np.nonzero(
             np.isin(out.status, (Status.ABANDONED, Status.ERROR))
         )[0]
-        ladder = [
-            (_default_kktsolver(jnp.float32, jnp.float64), True),
+        # The f64-assembled/f32-factored middle tier rescues
+        # assembly-cancellation stalls (measured on SOC mixes) but CANNOT
+        # move an S-cone stall — there the f32 factorization itself is the
+        # floor (measured: warm-started f64-assembly passes exit after one
+        # non-improving iteration on stalled small-SDP batches). Skip the
+        # futile dispatch and escalate S-cone specs straight to full f64.
+        ladder = ([(_default_kktsolver(jnp.float32, jnp.float64), True)]
+                  if not spec.sdp_groups else []) + [
             (_default_kktsolver(None), False),
         ]
         if stalled.size:

@@ -267,8 +267,12 @@ def conic_ip(
     # Only the default backend escalates — a user-supplied kktsolver is
     # the user's choice (reference semantics: the plugin is used, period).
     if factor_dtype == jnp.float32 and not user_kktsolver and _stalled(sol):
-        ladder = [
-            (_default_kktsolver(jnp.float32, jnp.float64), True),
+        # S-cone specs skip the f64-assembled middle tier: measured futile
+        # there — the f32 factorization is the floor, not the assembly
+        # (see parallel/batch.py ladder note). Rarely reached for singles
+        # anyway (the in-loop last-mile handles the common stall).
+        ladder = ([(_default_kktsolver(jnp.float32, jnp.float64), True)]
+                  if not spec.sdp_groups else []) + [
             (_default_kktsolver(None), False),
         ]
         for kkt_next, mixed_next in ladder:

@@ -330,3 +330,19 @@ def test_solve_batch_eliminate_requires_shared_G():
     Gb = np.broadcast_to(G, (3,) + G.shape).copy()
     with pytest.raises(ValueError):
         solve_batch(Q, c, A, b, cones, Gb, d, eliminate_equalities=True)
+
+
+def test_solve_batch_sdp_backstop_skips_futile_tier():
+    # S-cone stalls cannot be rescued by the f64-assembled/f32-factored
+    # tier (the f32 factorization is the floor); the ladder must escalate
+    # SDP specs straight to full f64 and certify every instance.
+    import jax.numpy as jnp
+
+    from conicip_tpu.models import batched_small_sdp
+
+    Q, c, A, b, cones = batched_small_sdp(6)
+    bs = solve_batch(Q, c, A, b, cones, factor_dtype=jnp.float32,
+                     optTol=1e-7)
+    assert bs.statuses == ["Optimal"] * 6
+    assert np.max(np.maximum(bs.prFeas,
+                             np.maximum(bs.duFeas, bs.muFeas))) < 1e-7
