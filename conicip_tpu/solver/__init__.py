@@ -141,6 +141,7 @@ def conic_ip(
     dtype=None,
     mixedResiduals: Optional[bool] = None,
     eliminateEqualities: Optional[bool] = None,
+    lastmileProactive: Optional[float] = None,
     warm_start=None,
 ) -> Solution:
     """Interior point solver for
@@ -169,6 +170,17 @@ def conic_ip(
     """
     dtype = dtype or jnp.float64
     factor_dtype = resolve_factor_dtype(factor_dtype)
+    if lastmileProactive is None:
+        # Default ON for the auto f32 single-solve path: entering the
+        # full-precision KKT branch at 50x tolerance replaces the 1-2
+        # wasted fast iterations a reactive stall detection pays with the
+        # same number of productive full-precision ones — measured to
+        # restore exact f64 iteration counts (many_small_socs 11 -> 9,
+        # mixed_rq_eq 15 -> 14) at similar slow-branch iteration counts.
+        lastmileProactive = (
+            50.0 if factor_dtype == jnp.float32 and kktsolver is None
+            else 0.0
+        )
     Q_in, A_in, G_in = Q, A, G  # host-side originals for the auto-backend check
     c = _densify(c, dtype)
     n = c.shape[0]
@@ -193,7 +205,8 @@ def conic_ip(
             maxRefinementSteps=maxRefinementSteps, maxIters=maxIters,
             infeasTol=infeasTol, refinementThreshold=refinementThreshold,
             factor_dtype=factor_dtype, dtype=dtype,
-            mixedResiduals=mixedResiduals, warm_start=warm_start,
+            mixedResiduals=mixedResiduals,
+            lastmileProactive=lastmileProactive, warm_start=warm_start,
         )
 
     spec = ConeSpec(cone_dims)
@@ -215,6 +228,7 @@ def conic_ip(
         infeasTol=infeasTol,
         refinementThreshold=refinementThreshold,
         mixedResiduals=mixedResiduals,
+        lastmileProactive=lastmileProactive,
     )
     warm = _user_warm_vec(warm_start, A, b, G.shape[0], dtype)
     if warm is not None:
@@ -344,7 +358,8 @@ def _user_warm_vec(warm_start, A, b, p, dtype) -> Optional[Vec4]:
 def _solve_eliminated(
     Q, c, A, b, cone_dims, G, d, *, kktsolver, optTol, DTB, verbose,
     maxRefinementSteps, maxIters, infeasTol, refinementThreshold,
-    factor_dtype, dtype, mixedResiduals, warm_start=None,
+    factor_dtype, dtype, mixedResiduals, lastmileProactive=0.0,
+    warm_start=None,
 ) -> Solution:
     """Solve with equalities removed by the null-space transform
     (:mod:`conicip_tpu.reduce`), then recover the full-space solution."""
@@ -392,7 +407,7 @@ def _solve_eliminated(
             infeasTol=infeasTol, refinementThreshold=refinementThreshold,
             factor_dtype=factor_dtype, dtype=dtype,
             mixedResiduals=mixedResiduals, eliminateEqualities=False,
-            warm_start=sub_warm,
+            lastmileProactive=lastmileProactive, warm_start=sub_warm,
         )
         if sub.status != "Optimal":
             break
@@ -417,7 +432,7 @@ def _solve_eliminated(
             infeasTol=infeasTol, refinementThreshold=refinementThreshold,
             factor_dtype=factor_dtype, dtype=dtype,
             mixedResiduals=mixedResiduals, eliminateEqualities=False,
-            warm_start=warm_start,
+            lastmileProactive=lastmileProactive, warm_start=warm_start,
         )
 
     v = sub.v

@@ -64,6 +64,14 @@ class IPMOptions:
     # dtype is float64.
     mixedResiduals: bool = False
     residualSwitch: float = 50.0
+    # Proactive last-mile: additionally switch the two-variant KKT
+    # generator to its full-precision branch once the carried residual is
+    # within this factor of tolerance (0 = reactive-only, the default:
+    # fire on the first non-improving iteration near tolerance). Proactive
+    # firing trades f64-assembly cost for the 1-2 iterations a reactive
+    # trigger wastes detecting the stall — worthwhile when f64 iterations
+    # are cheap relative to wasted f32 ones (small/medium n).
+    lastmileProactive: float = 0.0
 
     @property
     def infeas_tol(self) -> float:
@@ -524,6 +532,13 @@ def ipm_solve(
             ((optBest < sw * opts.optTol) & ~improved)
             | ~jnp.isfinite(R.rmax)
         )
+        if opts.lastmileProactive > 0:
+            # proactive variant (see IPMOptions): enter the full-precision
+            # branch as soon as the residual is near tolerance, before a
+            # stall wastes iterations
+            lm_on = lm_on | (
+                R.rmax < opts.lastmileProactive * opts.optTol
+            )
 
         # ── Predictor / corrector / refinement / step — only while running.
         def _take_step_with(solve3x3, z, eig_dtype=None):
