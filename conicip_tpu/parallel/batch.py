@@ -84,6 +84,70 @@ def make_batched_warm_solver(spec: ConeSpec, kktsolver, opts: IPMOptions,
     )
 
 
+@functools.lru_cache(maxsize=None)
+def make_batched_ladder_solver(spec: ConeSpec, kktsolver, tiers,
+                               opts: IPMOptions, with_warm: bool = False):
+    """jitted vmapped solver with the escalation ladder FUSED into the
+    program: after the fast tier, each ``(kktsolver, IPMOptions)`` in
+    ``tiers`` runs under a batch-level ``lax.cond`` — executed only when
+    some instance ended Abandoned/Error, warm-started from the stalled
+    instances' best iterates, with per-instance acceptance (same policy as
+    the host ladder). One device dispatch replaces the 2-3 the host
+    ladder pays (~100 ms each through the axon tunnel)."""
+    from ..solver.state import Status, Vec4
+
+    _hi = jax.lax.Precision.HIGHEST
+
+    def _vsolve(kkt, o, Q, c, A, b, G, d, warm=None):
+        if warm is None:
+            return jax.vmap(
+                lambda Q, c, A, b, G, d: ipm_solve(Q, c, A, b, G, d, spec,
+                                                   kkt, o)
+            )(Q, c, A, b, G, d)
+        return jax.vmap(
+            lambda Q, c, A, b, G, d, w: ipm_solve(Q, c, A, b, G, d, spec,
+                                                  kkt, o, warm=w)
+        )(Q, c, A, b, G, d, warm)
+
+    def _maxres(st):
+        return jnp.maximum(st.prFeas, jnp.maximum(st.duFeas, st.muFeas))
+
+    def run(Q, c, A, b, G, d, warm=None):
+        st = _vsolve(kktsolver, opts, Q, c, A, b, G, d, warm)
+        for kkt_t, opts_t in tiers:
+            stalled = (st.status == Status.ABANDONED) | (
+                st.status == Status.ERROR)
+
+            def rescue(st=st, kkt_t=kkt_t, opts_t=opts_t, stalled=stalled):
+                ok = (
+                    jnp.all(jnp.isfinite(st.y), axis=1)
+                    & jnp.all(jnp.isfinite(st.w), axis=1)
+                    & jnp.all(jnp.isfinite(st.v), axis=1)
+                )[:, None]
+                y = jnp.where(ok, st.y, 0.0)
+                w = jnp.where(ok, st.w, 0.0)
+                v = jnp.where(ok, st.v, 1.0)
+                s = jnp.einsum("bij,bj->bi", A, y, precision=_hi) - b
+                st2 = _vsolve(kkt_t, opts_t, Q, c, A, b, G, d,
+                              Vec4(y, w, v, s))
+                definitive = (st2.status != Status.ABANDONED) & (
+                    st2.status != Status.ERROR)
+                accept = stalled & (definitive | (_maxres(st2) <= _maxres(st)))
+
+                def merge(a, b_):
+                    m = accept.reshape(accept.shape + (1,) * (a.ndim - 1))
+                    return jnp.where(m, a, b_)
+
+                return jax.tree_util.tree_map(merge, st2, st)
+
+            st = jax.lax.cond(jnp.any(stalled), rescue, lambda st=st: st)
+        return st
+
+    if with_warm:
+        return jax.jit(run)
+    return jax.jit(lambda Q, c, A, b, G, d: run(Q, c, A, b, G, d))
+
+
 def solve_batch(
     Q,
     c,
@@ -219,11 +283,34 @@ def solve_batch(
                               precision=jax.lax.Precision.HIGHEST) - b
         warm = Vec4(wy, ww, wv, ws_slack)
 
-    solver = (
-        make_batched_warm_solver(spec, kktsolver, opts)
-        if warm is not None
-        else make_batched_solver(spec, kktsolver, opts)
-    )
+    # Fused in-jit escalation ladder (same tiers/policy as the host loop
+    # below): one device dispatch covers fast tier + rescues; the rescue
+    # while_loops sit behind a batch-level lax.cond and cost nothing when
+    # every instance finishes in the fast tier. The host loop remains as
+    # a safety net for instances all fused tiers leave stalled.
+    fused_tiers = ()
+    if factor_dtype == jnp.float32 and backstop:
+        from ..solver import _default_kktsolver
+
+        fused_tiers = tuple(
+            [(_default_kktsolver(jnp.float32, jnp.float64),
+              IPMOptions(**{**options, "mixedResiduals": True}))]
+            if not spec.sdp_groups else []
+        ) + (
+            (_default_kktsolver(None),
+             IPMOptions(**{**options, "mixedResiduals": False})),
+        )
+
+    if fused_tiers:
+        solver = make_batched_ladder_solver(
+            spec, kktsolver, fused_tiers, opts, with_warm=warm is not None
+        )
+    else:
+        solver = (
+            make_batched_warm_solver(spec, kktsolver, opts)
+            if warm is not None
+            else make_batched_solver(spec, kktsolver, opts)
+        )
 
     if mesh is not None:
         shard = NamedSharding(mesh, P(batch_axis))
