@@ -129,34 +129,23 @@ def main() -> None:
         Gz = jnp.zeros((0, n))
         dz = jnp.zeros((0,))
 
-        # Production ladder, chained form: instances the f32 tier leaves
-        # above tolerance get a warm-started FULL-f64 pass — the same
-        # escalation solve_batch's ladder ends in (and the single-solve
-        # last-mile runs in-loop), fused into the chain step so its cost
-        # is measured, not hidden. Instances the f32 tier already finished
-        # freeze within ~1 full-precision iteration (mask-based core), so
-        # the tier costs ~the stragglers' few f64 iterations.
+        # Production configuration, chained: each chain step runs the
+        # EXACT fused-ladder batched solver solve_batch dispatches — fast
+        # f32 tier plus cond-gated rescue tiers (skipped when every
+        # instance certifies in f32), so the measured rate includes
+        # escalation cost exactly when production pays it.
+        from conicip_tpu.parallel.batch import make_batched_ladder_solver
         from conicip_tpu.solver import _default_kktsolver as _dk
-        from conicip_tpu.solver.state import Vec4
 
-        kkt2 = _dk(None)
-        opts2 = IPMOptions(optTol=1e-6, mixedResiduals=False, maxIters=20)
-
-        def one_with_rescue(Q, c, A, b):
-            st1 = ipm_solve(Q, c, A, b, Gz, dz, spec, kkt, opts)
-            s1 = jnp.matmul(A, st1.y,
-                            precision=jax.lax.Precision.HIGHEST) - b
-            warm = Vec4(st1.y, jnp.zeros((0,), st1.y.dtype), st1.v, s1)
-            st2 = ipm_solve(Q, c, A, b, Gz, dz, spec, kkt2, opts2,
-                            warm=warm)
-            r1 = jnp.maximum(st1.prFeas,
-                             jnp.maximum(st1.duFeas, st1.muFeas))
-            r2 = jnp.maximum(st2.prFeas,
-                             jnp.maximum(st2.duFeas, st2.muFeas))
-            return (st1.Iter + st2.Iter, jnp.minimum(r1, r2),
-                    (jnp.minimum(r1, r2) < 1e-6))
-
-        solve_rescued = jax.vmap(one_with_rescue, in_axes=(0, 0, 0, 0))
+        tiers = tuple(
+            [(_dk(jnp.float32, jnp.float64),
+              IPMOptions(optTol=1e-6, mixedResiduals=True))]
+            if not spec.sdp_groups else []
+        ) + ((_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False)),)
+        ladder_solver = make_batched_ladder_solver(
+            spec, kkt, tiers, opts)
+        Gb = jnp.zeros((B, 0, n))
+        db = jnp.zeros((B, 0))
 
         cs = jax.device_put(jnp.asarray(fresh_c(2 * K)))
         Qd = jax.device_put(jnp.asarray(Q))
@@ -168,11 +157,13 @@ def main() -> None:
             def run(cs, Qd, Ad, bd):
                 def body(i, acc):
                     iters, resid, nbad = acc
-                    it, r, ok = solve_rescued(Qd, cs[i], Ad, bd)
+                    st = ladder_solver(Qd, cs[i], Ad, bd, Gb, db)
+                    r = jnp.maximum(st.prFeas,
+                                    jnp.maximum(st.duFeas, st.muFeas))
                     return (
-                        iters + jnp.sum(it),
+                        iters + jnp.sum(st.Iter),
                         jnp.maximum(resid, jnp.max(r)),
-                        nbad + jnp.sum(jnp.where(ok, 0, 1)),
+                        nbad + jnp.sum(jnp.where(r < 1e-6, 0, 1)),
                     )
 
                 return jax.lax.fori_loop(
