@@ -52,6 +52,7 @@ __all__ = [
     "apply_adjoint",
     "apply_mat",
     "apply_adjoint_mat",
+    "dense_gram",
     "cast",
 ]
 
@@ -288,6 +289,39 @@ def apply_mat(spec: ConeSpec, F: NTScaling, A: jnp.ndarray) -> jnp.ndarray:
 
 def apply_adjoint_mat(spec: ConeSpec, F: NTScaling, A: jnp.ndarray) -> jnp.ndarray:
     return _apply_mat(spec, F, A, transpose_sdp=True)
+
+
+def dense_gram(spec: ConeSpec, F: NTScaling, dtype=None) -> jnp.ndarray:
+    """Materialize ``FᵀF`` as an (m, m) block-diagonal matrix directly
+    from the structured parts — O(Σ k·d³) instead of the O(m³) dense
+    ``dense(F).T @ dense(F)`` the LU fallback previously paid per
+    iteration (the reference's worst allocation pathology,
+    benchmark/report.md:40-44).
+
+    Per group: R rows square the diagonal; SOC blocks form the (dim, dim)
+    factor and square it batched; SDP blocks use that the congruence
+    operator ``X ↦ SᵀXS`` composed with its adjoint ``Y ↦ SYSᵀ`` is the
+    congruence by the symmetric ``P = SSᵀ``."""
+    dtype = dtype or (F.r_d.dtype if F.r_d.size else jnp.float64)
+    M = jnp.zeros((spec.m, spec.m), dtype)
+    if spec.nr:
+        M = M.at[spec.r_idx, spec.r_idx].set(F.r_d * F.r_d)
+    for g, sc in zip(spec.soc_groups, F.soc):
+        blk = (
+            jnp.eye(g.dim, dtype=dtype) * sc.d[:, None, :]
+            + sc.alpha[:, None, None] * sc.u[:, :, None] * sc.u[:, None, :]
+        )  # (k, dim, dim), symmetric
+        blk2 = jnp.einsum("kab,kbc->kac", blk, blk, precision=_HI)
+        M = M.at[g.idx[:, :, None], g.idx[:, None, :]].set(blk2)
+    for g, sd in zip(spec.sdp_groups, F.sdp):
+        t = g.tdim
+        basis = mat(jnp.eye(t, dtype=dtype))  # (t, d, d)
+        P = jnp.einsum("kab,kcb->kac", sd.S, sd.S, precision=_HI)  # S Sᵀ
+        Y = jnp.einsum("kab,jbc,kcd->kjad", P, basis, P, precision=_HI)
+        cols = vecm(Y)
+        M = M.at[g.idx[:, :, None], g.idx[:, None, :]].set(
+            jnp.swapaxes(cols, -1, -2))
+    return M
 
 
 def dense(spec: ConeSpec, F: NTScaling, dtype=None) -> jnp.ndarray:

@@ -47,8 +47,9 @@ def kktsolver_lu(Q, A, G, spec: ConeSpec, *, factor_dtype=None):
     fd = _lu_dtype(dtype) if factor_dtype is None else factor_dtype
 
     def solve3x3gen(F, FinvT):
-        Fd = sc.dense(spec, F, dtype)
-        W2 = jnp.matmul(Fd.T, Fd, precision=jax.lax.Precision.HIGHEST)
+        # FᵀF assembled block-diagonally from the structured scaling —
+        # O(Σ k·d³), not the O(m³) dense square (scaling.dense_gram)
+        W2 = sc.dense_gram(spec, F, dtype)
         Z = jnp.block(
             [
                 [Q, G.T, -A.T],

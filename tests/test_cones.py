@@ -186,3 +186,23 @@ def test_identity_scaling(rng):
     np.testing.assert_allclose(
         np.asarray(scaling.apply_adjoint(spec, F, x)), np.asarray(x)
     )
+
+
+def test_dense_gram_matches_dense_square():
+    # FᵀF assembled block-diagonally (scaling.dense_gram) must equal the
+    # dense square for a full R+Q+S mix
+    import jax.numpy as jnp
+
+    from conicip_tpu.cones import scaling as sc
+    from conicip_tpu.cones.spec import ConeSpec
+
+    spec = ConeSpec([("R", 5), ("Q", 4), ("Q", 4), ("S", 10), ("S", 6)])
+    rng = np.random.default_rng(0)
+    e = np.asarray(spec.identity)
+    z = e + 0.1 * rng.standard_normal(spec.m)
+    s = e + 0.1 * rng.standard_normal(spec.m)
+    F = sc.nt_scaling(spec, jnp.asarray(z), jnp.asarray(s))
+    Fd = np.asarray(sc.dense(spec, F))
+    np.testing.assert_allclose(
+        np.asarray(sc.dense_gram(spec, F)), Fd.T @ Fd, atol=1e-12,
+        rtol=1e-10)
