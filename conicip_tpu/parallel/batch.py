@@ -225,9 +225,10 @@ def solve_batch(
     else:
         G = jnp.asarray(G, dtype)
         d = jnp.asarray(d, dtype)
-        if G.ndim == 2:  # shared equality system
+        if G.ndim == 2:  # shared equality system (d batched or shared)
             G = jnp.broadcast_to(G, (batch,) + G.shape)
-            d = jnp.broadcast_to(d, (batch,) + d.shape)
+            if d.ndim == 1:
+                d = jnp.broadcast_to(d, (batch,) + d.shape)
 
     spec = ConeSpec(cone_dims)
     if kktsolver is None:
@@ -429,6 +430,14 @@ def _solve_batch_eliminated(
 
     Gh = np.asarray(G, np.float64)
     basis = equality_basis(Gh)
+    if basis.rank >= n:
+        # G determines y completely — nothing to reduce; the direct
+        # saddle path handles the (degenerate) fully-pinned case
+        return solve_batch(
+            Q, c, A, b, cone_dims, G, d, mesh=mesh, batch_axis=batch_axis,
+            factor_dtype=factor_dtype, dtype=dtype, warm_start=warm_start,
+            backstop=backstop, eliminate_equalities=False, **options,
+        )
     p = basis.p
     dh = np.asarray(d, np.float64)
     if dh.ndim == 1:

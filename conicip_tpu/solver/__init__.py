@@ -371,6 +371,18 @@ def _solve_eliminated(
     red = eliminate_equalities(Qh, ch, Ah, bh, Gh, dh)
     p = Gh.shape[0]
     n = ch.shape[0]
+    if red is not None and red.consistent and red.Z.shape[1] == 0:
+        # G pins y completely — a 0-variable reduced problem would crash
+        # the IPM; the direct saddle path handles the degenerate case
+        return conic_ip(
+            Q, c, A, b, cone_dims, G, d,
+            kktsolver=kktsolver, optTol=optTol, DTB=DTB, verbose=verbose,
+            maxRefinementSteps=maxRefinementSteps, maxIters=maxIters,
+            infeasTol=infeasTol, refinementThreshold=refinementThreshold,
+            factor_dtype=factor_dtype, dtype=dtype,
+            mixedResiduals=mixedResiduals, eliminateEqualities=False,
+            warm_start=warm_start,
+        )
     if not red.consistent:
         # Inconsistent equalities (preprocessor.jl:61-64 semantics)
         return Solution(

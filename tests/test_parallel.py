@@ -346,3 +346,25 @@ def test_solve_batch_sdp_backstop_skips_futile_tier():
     assert bs.statuses == ["Optimal"] * 6
     assert np.max(np.maximum(bs.prFeas,
                              np.maximum(bs.duFeas, bs.muFeas))) < 1e-7
+
+
+def test_solve_batch_full_rank_G_degenerate():
+    # G with rank n pins y completely — a 0-variable reduced problem must
+    # fall back to the direct saddle path, not crash (single + batched)
+    import jax.numpy as jnp
+
+    n = 4
+    Q = np.stack([np.eye(n)] * 3)
+    c = np.zeros((3, n))
+    A = Q.copy()
+    b = np.zeros((3, n))
+    d = 0.5 * np.ones((3, n))
+    bs = solve_batch(Q, c, A, b, [("R", n)], np.eye(n), d,
+                     factor_dtype=jnp.float32, optTol=1e-7)
+    assert bs.statuses == ["Optimal"] * 3
+    np.testing.assert_allclose(bs.y, d, atol=1e-6)
+    s = ct.conic_ip(np.eye(n), np.zeros(n), np.eye(n), np.zeros(n),
+                    [("R", n)], G=np.eye(n), d=0.5 * np.ones(n),
+                    factor_dtype=jnp.float32, optTol=1e-7)
+    assert s.status == "Optimal"
+    np.testing.assert_allclose(s.y, 0.5 * np.ones(n), atol=1e-6)
