@@ -45,6 +45,7 @@ __all__ = [
     "maxstep",
     "maxstep_to_cone",
     "lyap_solve",
+    "centrality_correction",
 ]
 
 
@@ -191,6 +192,54 @@ def maxstep(spec: ConeSpec, x: jnp.ndarray, d: jnp.ndarray,
         a = jnp.where(pd, a, inf_e)  # X not PD ⇒ Inf (ConicIP.jl:277-280)
         steps.append(jnp.min(a))
     return jnp.min(jnp.stack(steps))
+
+
+def centrality_correction(spec: ConeSpec, w: jnp.ndarray, lo, hi,
+                          eig_dtype=None) -> jnp.ndarray:
+    """Gondzio centrality-corrector term ``q = Π_{[lo,hi]}(w) − w`` applied
+    to the *spectral values* of the trial complementarity product ``w``,
+    with the standard floor clamp ``q ≥ −hi`` (Gondzio 1996, §4: outlier
+    products are pushed toward the target box, never yanked by more than
+    the upper bound).
+
+    The reference has no corrector (ConicIP.jl runs plain Mehrotra); this
+    EXTENDS it. On TPU the corrector is nearly free — it reuses the
+    iteration's factorization — so trading one extra triangular solve for
+    a saved O(n³) refactorization is the hardware-right bargain.
+
+    Componentwise on R; closed-form two-eigenvalue Jordan frame on Q;
+    batched ``eigh`` on S (``eig_dtype`` as in :func:`maxstep`).
+    """
+
+    def _clip(lmb):
+        return jnp.maximum(jnp.clip(lmb, lo, hi) - lmb, -hi)
+
+    if spec.only_r:
+        return _clip(w)
+    q = jnp.zeros_like(w)
+    if spec.nr:
+        q = put_r(spec, q, _clip(take_r(spec, w)))
+    for g in spec.soc_groups:
+        wg = take_group(g, w)  # (k, dim)
+        w0 = wg[:, 0]
+        nrm = jnp.linalg.norm(wg[:, 1:], axis=-1)
+        dplus = _clip(w0 + nrm)  # (k,)
+        dminus = _clip(w0 - nrm)
+        # q = δ₊c₊ + δ₋c₋,  c± = ½(1, ±w̄/‖w̄‖);  ŵ := w̄/‖w̄‖ (0 if w̄ = 0,
+        # in which case the two frames coincide and the tail cancels)
+        what = wg[:, 1:] / jnp.maximum(nrm, jnp.finfo(w.dtype).tiny)[:, None]
+        head = 0.5 * (dplus + dminus)
+        tail = 0.5 * (dplus - dminus)[:, None] * what
+        q = put_group(g, q, jnp.concatenate([head[:, None], tail], axis=1))
+    ed = w.dtype if eig_dtype is None else eig_dtype
+    for g in spec.sdp_groups:
+        W = mat(take_group(g, w)).astype(ed)
+        lmb, U = jnp.linalg.eigh(W)
+        lmb, U = lmb.astype(w.dtype), U.astype(w.dtype)
+        delta = _clip(lmb)  # (k, d)
+        Qm = _mm(U * delta[..., None, :], jnp.swapaxes(U, -1, -2))
+        q = put_group(g, q, vecm(Qm))
+    return q
 
 
 def maxstep_to_cone(spec: ConeSpec, x: jnp.ndarray) -> jnp.ndarray:

@@ -64,6 +64,15 @@ class IPMOptions:
     # dtype is float64.
     mixedResiduals: bool = False
     residualSwitch: float = 50.0
+    # Gondzio multiple centrality correctors (EXTENDS the reference, which
+    # runs plain Mehrotra): after the corrector step, up to this many extra
+    # back-solves against the SAME factorization push outlier
+    # complementarity products back into [0.1, 10]·σμ, enlarging the
+    # steplength. On TPU a back-solve costs a small fraction of the O(n³)
+    # refactorization it can save, so accepted correctors are near-free;
+    # rejected ones keep the uncorrected direction (steplength never
+    # decreases). 0 disables.
+    centralityCorrectors: int = 0
     # Proactive last-mile: additionally switch the two-variant KKT
     # generator to its full-precision branch once the carried residual is
     # within this factor of tolerance (0 = reactive-only, the default:
@@ -630,6 +639,59 @@ def ipm_solve(
             dz = jax.tree_util.tree_map(
                 lambda u: jnp.where(dz_ok, u, jnp.zeros_like(u)), dz
             )
+
+            # ── Gondzio multiple centrality correctors (IPMOptions field
+            # doc). Static unroll; each round is mask-accepted, so the
+            # loop stays vmap-safe and a rejected round costs steplength
+            # nothing. `active` turns off after the first rejection
+            # (Gondzio's stopping rule) and never starts on a scrubbed
+            # (non-finite) direction.
+            active = dz_ok
+            smu = sigma * mu
+            for _ in range(opts.centralityCorrectors):
+                atil = jnp.minimum(1.0, 1.08 * alpha + 0.08)
+                Fdv = sc.apply(spec, F, dz.v)
+                FiTds_c = sc.apply(spec, FinvT, dz.s)
+                w_trial = ca.cone_prod(
+                    spec, lam - atil * Fdv, lam - atil * FiTds_c
+                )
+                q = ca.centrality_correction(
+                    spec, w_trial, 0.1 * smu, 10.0 * smu, eig_dtype
+                )
+                ddz = solve4(
+                    Vec4(
+                        jnp.zeros_like(dz.y),
+                        jnp.zeros_like(dz.w),
+                        jnp.zeros_like(dz.v),
+                        -q,
+                    )
+                )
+                dz_c = dz + ddz
+                a_c = jnp.minimum(
+                    jnp.minimum(
+                        ca.maxstep(spec, z.v, dz_c.v * inv_dtb, eig_dtype),
+                        1.0,
+                    ),
+                    jnp.minimum(
+                        ca.maxstep(spec, z.s, dz_c.s * inv_dtb, eig_dtype),
+                        1.0,
+                    ),
+                )
+                fin = (
+                    jnp.all(jnp.isfinite(ddz.y))
+                    & jnp.all(jnp.isfinite(ddz.v))
+                    & jnp.all(jnp.isfinite(ddz.s))
+                    & jnp.isfinite(a_c)
+                )
+                accept = (
+                    active & fin & (a_c >= alpha + 0.1 * (atil - alpha))
+                )
+                dz = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(accept, new, old), dz_c, dz
+                )
+                alpha = jnp.where(accept, a_c, alpha)
+                active = accept
+
             # products of the taken step — used to update the carried P
             # (mixed mode only; otherwise P is recomputed fresh each body)
             if mixed:

@@ -206,3 +206,60 @@ def test_dense_gram_matches_dense_square():
     np.testing.assert_allclose(
         np.asarray(sc.dense_gram(spec, F)), Fd.T @ Fd, atol=1e-12,
         rtol=1e-10)
+
+
+# ── Gondzio centrality correction (EXTENDS the reference; solver/ipm.py) ──
+
+
+def test_centrality_correction_r():
+    from conicip_tpu.cones.algebra import centrality_correction
+
+    spec = ConeSpec([("R", 5)])
+    w = jnp.asarray([0.05, 0.5, 1.0, 15.0, 200.0])
+    q = np.asarray(centrality_correction(spec, w, 0.1, 10.0))
+    # inside [lo, hi] -> 0; below -> lifted to lo; above -> pushed to hi,
+    # floor-clamped at -hi
+    np.testing.assert_allclose(q, [0.05, 0.0, 0.0, -5.0, -10.0], atol=1e-12)
+
+
+def test_centrality_correction_spectral(rng):
+    """Q and S corrections are the componentwise clip of the SPECTRAL
+    values: eigenvalues of mat(w + q) must land where a scalar clip of
+    mat(w)'s eigenvalues would (up to the -hi floor clamp)."""
+    from conicip_tpu.cones.algebra import centrality_correction
+
+    spec = ConeSpec([("Q", 4), ("S", tri_dim(3))])
+    w = np.zeros(spec.m)
+    w[:4] = [1.0, 0.3, -0.2, 0.6]  # SOC eigenvalues 1 ± 0.7
+    S = random_symmetric(rng, 3) * 3.0
+    w[4:] = np.asarray(vecm(jnp.asarray(S)))
+    lo, hi = 0.5, 2.0
+    q = np.asarray(centrality_correction(spec, jnp.asarray(w), lo, hi))
+
+    def clipped(lmb):
+        return lmb + np.maximum(np.clip(lmb, lo, hi) - lmb, -hi)
+
+    # SOC block
+    soc = w[:4] + q[:4]
+    nrm = np.linalg.norm(w[1:4])
+    got = np.array([soc[0] + np.linalg.norm(soc[1:]) * np.sign(
+        np.dot(soc[1:], w[1:4])) if np.linalg.norm(soc[1:]) else soc[0],
+        soc[0] - np.linalg.norm(soc[1:]) * np.sign(np.dot(soc[1:], w[1:4]))
+        if np.linalg.norm(soc[1:]) else soc[0]])
+    want = clipped(np.array([w[0] + nrm, w[0] - nrm]))
+    np.testing.assert_allclose(np.sort(got), np.sort(want), atol=1e-10)
+    # SDP block: eigenvalues of the corrected matrix = clipped eigenvalues
+    M = np.asarray(mat(jnp.asarray(w[4:] + q[4:])))
+    np.testing.assert_allclose(
+        np.linalg.eigvalsh(M), clipped(np.linalg.eigvalsh(S)), atol=1e-10
+    )
+
+
+def test_centrality_correction_zero_inside(rng):
+    from conicip_tpu.cones.algebra import centrality_correction
+
+    spec = ConeSpec([("R", 3), ("Q", 3), ("S", tri_dim(2))])
+    e = jnp.asarray(spec.identity)
+    # w = e has all spectral values 1, inside [0.1, 10] -> q = 0
+    q = np.asarray(centrality_correction(spec, e, 0.1, 10.0))
+    np.testing.assert_allclose(q, 0.0, atol=1e-12)

@@ -21,7 +21,10 @@ def test_solve_batch_plain():
     assert bs.statuses == ["Optimal"] * 8
     # every instance matches its individual solve
     for i in range(8):
-        sol = ct.conic_ip(Q[i], c[i], A[i], b[i], cones, optTol=1e-7)
+        # solve_batch defaults to 0 centrality correctors — pin the
+        # single-solve reference to the same algorithm
+        sol = ct.conic_ip(Q[i], c[i], A[i], b[i], cones, optTol=1e-7,
+                          centralityCorrectors=0)
         np.testing.assert_allclose(bs.y[i], sol.y, atol=1e-5)
 
 
@@ -141,7 +144,10 @@ def test_kktsolver_schur_tp_general_specs(cones, p):
     sol_tp = ct.conic_ip(Q, c, A, b, cones, G=G, d=d,
                          kktsolver=kktsolver_schur_tp(mesh, "tp"),
                          optTol=1e-7)
-    sol = ct.conic_ip(Q, c, A, b, cones, G=G, d=d, optTol=1e-7)
+    # the TP path runs a user kktsolver (0 correctors) — pin the
+    # reference to the same trajectory
+    sol = ct.conic_ip(Q, c, A, b, cones, G=G, d=d, optTol=1e-7,
+                      centralityCorrectors=0)
     assert sol_tp.status == "Optimal"
     np.testing.assert_allclose(sol_tp.y, sol.y, atol=1e-6)
 
@@ -168,7 +174,8 @@ def test_kktsolver_schur_tp_replicated_fallback():
     Q, c, A, b, G, d = _tp_problem(19, cones, 0)
     kkt = kktsolver_schur_tp(mesh, "tp", distributed_factor=False)
     sol = ct.conic_ip(Q, c, A, b, cones, kktsolver=kkt, optTol=1e-7)
-    ref = ct.conic_ip(Q, c, A, b, cones, optTol=1e-7)
+    ref = ct.conic_ip(Q, c, A, b, cones, optTol=1e-7,
+                      centralityCorrectors=0)
     assert sol.status == "Optimal"
     np.testing.assert_allclose(sol.y, ref.y, atol=1e-6)
 
