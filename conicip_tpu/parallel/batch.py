@@ -182,6 +182,13 @@ def solve_batch(
     ``backstop=False`` disables the per-instance full-precision re-solve
     of stalled f32 instances (used by the checkpoint loop, where an
     intermediate chunk's "Abandoned" just means "budget not yet spent").
+
+    ``centralityCorrectors`` (via ``**options``) defaults to 1 Gondzio
+    corrector on the auto dense-Schur path for R/Q specs (batched QP and
+    reduced-equality families measure 1-4 saved iterations) and 0
+    otherwise — SDP-spec batches run the corrector's eighs at full
+    precision for zero measured savings, and the diag backend's O(n)
+    factorization makes a corrector relatively expensive.
     """
     dtype = dtype or jnp.float64
     from ..solver import resolve_factor_dtype
@@ -231,6 +238,7 @@ def solve_batch(
                 d = jnp.broadcast_to(d, (batch,) + d.shape)
 
     spec = ConeSpec(cone_dims)
+    auto_schur = False
     if kktsolver is None:
         # auto structure exploitation (same policy as conic_ip), but the
         # separability pattern must hold for EVERY instance in the batch.
@@ -247,6 +255,22 @@ def solve_batch(
             )
         else:
             kktsolver = _default_kktsolver(factor_dtype)
+            auto_schur = True
+    if "centralityCorrectors" not in options:
+        # Batched auto policy (same measurement base as conic_ip's): one
+        # Gondzio corrector on the dense-Schur path for R/Q specs — the
+        # batched QP-dense and reduced-equality families each save 1-4
+        # iterations — but OFF when the spec has SDP groups: batched
+        # solves run without the two-variant fast/slow KKT generator, so
+        # the corrector's per-round eigh (clip + two max-steps) would run
+        # in full precision every iteration while the batched SDP
+        # families measure zero iteration savings.
+        options = {
+            **options,
+            "centralityCorrectors": (
+                1 if auto_schur and not spec.sdp_groups else 0
+            ),
+        }
     if "mixedResiduals" not in options:
         # same production policy as conic_ip: f32 factors + f64 iterates
         # run the per-iteration residual mat-vecs in f32 with certified

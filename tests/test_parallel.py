@@ -21,10 +21,10 @@ def test_solve_batch_plain():
     assert bs.statuses == ["Optimal"] * 8
     # every instance matches its individual solve
     for i in range(8):
-        # solve_batch defaults to 0 centrality correctors — pin the
-        # single-solve reference to the same algorithm
-        sol = ct.conic_ip(Q[i], c[i], A[i], b[i], cones, optTol=1e-7,
-                          centralityCorrectors=0)
+        # both sides auto-select 1 centrality corrector on this dense
+        # Schur batch — identical algorithm, so the trajectories and
+        # endpoints match to refinement accuracy
+        sol = ct.conic_ip(Q[i], c[i], A[i], b[i], cones, optTol=1e-7)
         np.testing.assert_allclose(bs.y[i], sol.y, atol=1e-5)
 
 

@@ -125,7 +125,11 @@ def main() -> None:
         spec = ConeSpec(cones)
         n = Q.shape[-1]
         kkt = _default_kktsolver(jnp.float32)
-        opts = IPMOptions(optTol=1e-6, mixedResiduals=True)
+        # mirror solve_batch's production auto: 1 Gondzio corrector on
+        # the dense-Schur path for R/Q specs, off for SDP specs
+        Kc = 0 if spec.sdp_groups else 1
+        opts = IPMOptions(optTol=1e-6, mixedResiduals=True,
+                          centralityCorrectors=Kc)
         Gz = jnp.zeros((0, n))
         dz = jnp.zeros((0,))
 
@@ -139,9 +143,11 @@ def main() -> None:
 
         tiers = tuple(
             [(_dk(jnp.float32, jnp.float64),
-              IPMOptions(optTol=1e-6, mixedResiduals=True))]
+              IPMOptions(optTol=1e-6, mixedResiduals=True,
+                         centralityCorrectors=Kc))]
             if not spec.sdp_groups else []
-        ) + ((_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False)),)
+        ) + ((_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
+                                    centralityCorrectors=Kc)),)
         ladder_solver = make_batched_ladder_solver(
             spec, kkt, tiers, opts)
         Gb = jnp.zeros((B, 0, n))
