@@ -276,6 +276,15 @@ def _run_chained(args, opts, ladder) -> None:
 
         G0 = probs[0].G if probs[0].G is not None else np.zeros((0, n))
         kkt_fast = _auto_kktsolver(probs[0].Q, probs[0].A, G0, spec, fast_fd)
+        # mirror conic_ip's production auto: 1 Gondzio corrector on the
+        # dense-Schur path, 0 on the diag backend
+        from conicip_tpu.kkt.diag import kktsolver_diag as _kd
+
+        _is_diag = kkt_fast is _kd or getattr(kkt_fast, "func", None) is _kd
+        _Kc = 0 if _is_diag else 1
+        opts = dc_replace(opts, centralityCorrectors=_Kc)
+        opts_mid = dc_replace(opts_mid, centralityCorrectors=_Kc)
+        opts_f64 = dc_replace(opts_f64, centralityCorrectors=_Kc)
 
         def max_resid(s):
             return jnp.maximum(s.prFeas, jnp.maximum(s.duFeas, s.muFeas))
