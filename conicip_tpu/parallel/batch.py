@@ -319,12 +319,22 @@ def solve_batch(
 
         fused_tiers = tuple(
             [(_default_kktsolver(jnp.float32, jnp.float64),
-              IPMOptions(**{**options, "mixedResiduals": True}))]
+              IPMOptions(**{**options, "mixedResiduals": True,
+                            "fastEig": False}))]
             if not spec.sdp_groups else []
         ) + (
             (_default_kktsolver(None),
-             IPMOptions(**{**options, "mixedResiduals": False})),
+             IPMOptions(**{**options, "mixedResiduals": False,
+                           "fastEig": False})),
         )
+        if spec.sdp_groups and "fastEig" not in options:
+            # Batched fast tier: run the S-cone decompositions (NT
+            # scaling, max-step, Lyapunov) in f32 — same effective
+            # accuracy as f64 eigh on v5e (the ~5e-7 NT floor) at a
+            # fraction of the latency; the fused full-f64 rescue tier
+            # above is the escape hatch a single solve gets from its
+            # two-variant KKT generator.
+            opts = IPMOptions(**{**options, "fastEig": True})
 
     if fused_tiers:
         solver = make_batched_ladder_solver(

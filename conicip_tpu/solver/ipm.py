@@ -73,6 +73,15 @@ class IPMOptions:
     # rejected ones keep the uncorrected direction (steplength never
     # decreases). 0 disables.
     centralityCorrectors: int = 0
+    # Fast-phase low-precision S-cone decompositions (NT scaling,
+    # max-step, Lyapunov division, corrector clip). None = auto: f32 in
+    # the fast branch when the two-variant KKT generator provides an
+    # in-loop full-precision escape (single-solve production path).
+    # True = force f32 decompositions even WITHOUT the two-variant
+    # generator — the batched fast tier uses this, with the fused rescue
+    # ladder as the escape hatch (a breakdown ends Abandoned/Error and
+    # the f64 tier re-solves warm). False = always full precision.
+    fastEig: Optional[bool] = None
     # Proactive last-mile: additionally switch the two-variant KKT
     # generator to its full-precision branch once the carried residual is
     # within this factor of tolerance (0 = reactive-only, the default:
@@ -358,7 +367,18 @@ def ipm_solve(
     # only achieves ~5e-7 there anyway). The slow branch reverts to full
     # precision, and a non-finite fast iteration escalates instead of
     # erroring (rescue below).
-    _fast_eig = _gen_two_mode and bool(spec.sdp_groups)
+    if opts.fastEig is None:
+        _fast_eig = _gen_two_mode and bool(spec.sdp_groups)
+        _force_fast_eig = False
+    elif opts.fastEig:
+        _fast_eig = _gen_two_mode and bool(spec.sdp_groups)
+        # no two-variant generator to escape into (e.g. the batched fast
+        # tier): run f32 decompositions unconditionally; the caller's
+        # rescue ladder is the escape hatch
+        _force_fast_eig = not _gen_two_mode and bool(spec.sdp_groups)
+    else:
+        _fast_eig = False
+        _force_fast_eig = False
 
     def body(carry):
         z, sol, optBest, k, rnorm_prev, rstep_prev, P, drift, lm_on = carry
@@ -371,6 +391,8 @@ def ipm_solve(
                 lambda: sc.nt_scaling(spec, z.v, z.s,
                                       eig_dtype=jnp.float32),
             )
+        elif _force_fast_eig:
+            F = sc.nt_scaling(spec, z.v, z.s, eig_dtype=jnp.float32)
         else:
             F = sc.nt_scaling(spec, z.v, z.s)
         FinvT = sc.nt_inv_adjoint(spec, F)
@@ -724,7 +746,10 @@ def ipm_solve(
                 )
         else:
             def take_step(z):
-                return _take_step_with(solve3x3gen(F, FinvT), z)
+                return _take_step_with(
+                    solve3x3gen(F, FinvT), z,
+                    eig_dtype=jnp.float32 if _force_fast_eig else None,
+                )
 
         def no_step(z):
             zero = jnp.zeros_like

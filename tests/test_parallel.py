@@ -375,3 +375,24 @@ def test_solve_batch_full_rank_G_degenerate():
                     factor_dtype=jnp.float32, optTol=1e-7)
     assert s.status == "Optimal"
     np.testing.assert_allclose(s.y, 0.5 * np.ones(n), atol=1e-6)
+
+
+def test_batched_sdp_fasteig_certifies():
+    # Batched SDP fast tier runs all S-cone decompositions in f32
+    # (fastEig=True auto — v5e's f64 eigh only reaches ~5e-7 anyway, at
+    # far higher latency); the fused full-f64 rescue tier is the escape
+    # hatch. Every instance must still certify 1e-6, matching the
+    # full-precision-decomposition run's statuses.
+    import jax.numpy as jnp
+
+    from conicip_tpu.models.generators import batched_small_sdp
+
+    Q, c, A, b, cones = batched_small_sdp(6)
+    fast = solve_batch(Q, c, A, b, cones, factor_dtype=jnp.float32)
+    slow = solve_batch(Q, c, A, b, cones, factor_dtype=jnp.float32,
+                       fastEig=False)
+    for bs in (fast, slow):
+        assert bs.statuses == ["Optimal"] * 6
+        resid = np.maximum(bs.prFeas, np.maximum(bs.duFeas, bs.muFeas))
+        assert float(np.max(resid)) < 1e-6
+    np.testing.assert_allclose(fast.pobj, slow.pobj, rtol=1e-5, atol=1e-5)

@@ -129,7 +129,11 @@ def main() -> None:
         # the dense-Schur path for R/Q specs, off for SDP specs
         Kc = 0 if spec.sdp_groups else 1
         opts = IPMOptions(optTol=1e-6, mixedResiduals=True,
-                          centralityCorrectors=Kc)
+                          centralityCorrectors=Kc,
+                          # batched SDP fast tier: f32 decompositions,
+                          # fused f64 rescue tier as the escape hatch
+                          # (same policy as solve_batch)
+                          fastEig=True if spec.sdp_groups else None)
         Gz = jnp.zeros((0, n))
         dz = jnp.zeros((0,))
 
@@ -144,10 +148,11 @@ def main() -> None:
         tiers = tuple(
             [(_dk(jnp.float32, jnp.float64),
               IPMOptions(optTol=1e-6, mixedResiduals=True,
-                         centralityCorrectors=Kc))]
+                         centralityCorrectors=Kc, fastEig=False))]
             if not spec.sdp_groups else []
         ) + ((_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
-                                    centralityCorrectors=Kc)),)
+                                    centralityCorrectors=Kc,
+                                    fastEig=False)),)
         ladder_solver = make_batched_ladder_solver(
             spec, kkt, tiers, opts)
         Gb = jnp.zeros((B, 0, n))
