@@ -239,3 +239,19 @@ def test_gondzio_correctors_cut_iterations():
             np.testing.assert_allclose(
                 float(corr.pobj), float(base.pobj),
                 rtol=1e-5, atol=1e-5)
+
+
+def test_gondzio_correctors_preserve_certificates():
+    # correctors must not disturb infeasibility/unboundedness detection:
+    # the acceptance rule only ever modifies the direction within an
+    # iteration, and certificate normalization happens on the residual
+    # side — statuses must match the plain-Mehrotra run
+    n = 10
+    rng = np.random.default_rng(0)
+    A = np.vstack([np.eye(n), -np.eye(n)])
+    s_inf = ct.conic_ip(np.eye(n), rng.standard_normal(n), A, np.ones(2*n),
+                        [("R", 2*n)], centralityCorrectors=2)
+    assert s_inf.status == "Infeasible"
+    s_unb = ct.conic_ip(np.zeros((n, n)), np.ones(n), np.eye(n),
+                        np.zeros(n), [("R", n)], centralityCorrectors=2)
+    assert s_unb.status == "Unbounded"
