@@ -151,52 +151,63 @@ def _make_factor_kernel(mesh: Mesh, axis: str, n_pad: int, p: int, dtype):
         M_blk = M_blk * ds_loc[:, None] * dscale[None, :]
         M_blk = M_blk.at[jnp.arange(r), rowid].add(ridge)
 
-        # -- Phase 1: right-looking panel Cholesky, L block-row sharded --
-        def panel_step(j, carry):
-            j = jnp.asarray(j, jnp.int32)  # match axis_index's dtype
-            A_loc, L_loc = carry
-            pan_loc = jax.lax.dynamic_slice(A_loc, (_I0, j * r), (r, r))
+        # -- Phase 1: right-looking panel Cholesky, L block-row sharded.
+        # The panel loop is PYTHON-UNROLLED (ntp is static): panel j's
+        # tri-solve and trailing update then operate on STATIC slices of
+        # the trailing submatrix only, cutting total phase FLOPs from
+        # n_pad³ (full-width updates under fori_loop, whose dynamic
+        # trip index forces every panel to full size) to ~n_pad³/2 while
+        # keeping the per-device balance (every device updates its r
+        # rows; width shrinks uniformly with j).
+        A_loc = M_blk
+        L_loc = jnp.zeros_like(M_blk)
+        for j in range(ntp):
+            c0 = j * r
+            pan_loc = A_loc[:, c0:c0 + r]  # (r, r)
             C = jax.lax.all_gather(pan_loc, axis, tiled=True)  # (n_pad, r)
-            D = jax.lax.dynamic_slice(C, (j * r, _I0), (r, r))
-            Ld = jnp.linalg.cholesky(D)
-            # full panel rows: C[i] @ Ld⁻ᵀ; block row j reproduces Ld (up
-            # to roundoff) — overwrite it exactly below.
-            Lp = solve_triangular(Ld, C.T, lower=True).T  # (n_pad, r)
-            Lp_loc = jax.lax.dynamic_slice(Lp, (me * r, _I0), (r, r))
+            Ct = C[c0:]  # trailing rows only, (n_pad - c0, r)
+            Ld = jnp.linalg.cholesky(Ct[:r])
+            # trailing panel rows: Ct @ Ld⁻ᵀ; block row j reproduces Ld
+            # (up to roundoff) — overwritten exactly below.
+            Lp = solve_triangular(Ld, Ct.T, lower=True).T
+            # my rows within the trailing range sit at trailing-local
+            # offset (me - j)·r; devices above the panel (me < j) slice
+            # clamped garbage that the mask zeroes.
+            off = jnp.maximum(me - j, 0) * r
+            Lp_loc = jax.lax.dynamic_slice(Lp, (off, _I0), (r, r))
             Lp_loc = jnp.where(me == j, jnp.tril(Ld), Lp_loc)
-            # trailing update of my rows (columns ≤ (j+1)r become garbage
-            # in A_loc; they are never read again — L is stored in L_loc)
-            A_loc = A_loc - jnp.matmul(Lp_loc, Lp.T, precision=_HI)
-            L_loc = jax.lax.dynamic_update_slice(
-                L_loc, jnp.where(me >= j, Lp_loc, 0.0), (_I0, j * r)
+            Lp_loc = jnp.where(me >= j, Lp_loc, 0.0)
+            # trailing update of my rows, trailing columns only (static
+            # width; columns < c0 become garbage in A_loc and are never
+            # read again — L lives in L_loc)
+            A_loc = A_loc.at[:, c0:].add(
+                -jnp.matmul(Lp_loc, Lp.T, precision=_HI)
             )
-            return A_loc, L_loc
+            L_loc = L_loc.at[:, c0:c0 + r].set(Lp_loc)
 
-        _, L_loc = jax.lax.fori_loop(
-            0, ntp, panel_step, (M_blk, jnp.zeros_like(M_blk))
-        )
-
-        # -- Phase 2: W = L⁻¹ column-sharded, by forward block rows --
-        colid = jnp.arange(n_pad)
-
-        def inv_step(i, W_loc):
-            i = jnp.asarray(i, jnp.int32)  # match axis_index's dtype
+        # -- Phase 2: W = L⁻¹ column-sharded, by forward block rows.
+        # Unrolled for the same reason: step i's substitution product
+        # reads only the i·r already-computed rows of W (static slice),
+        # halving the phase's FLOPs vs the masked full-height matmul a
+        # fori_loop needs.
+        W_loc = jnp.zeros((n_pad, r), dtype)
+        for i in range(ntp):
             # psum-broadcast of L block row i (only device i contributes)
             Lrow = jax.lax.psum(
                 jnp.where(me == i, L_loc, 0.0), axis
             )  # (r, n_pad)
-            Lrow_m = jnp.where(colid[None, :] < i * r, Lrow, 0.0)
-            S = jnp.matmul(Lrow_m, W_loc, precision=_HI)  # (r, r)
-            Ldi = jax.lax.dynamic_slice(Lrow, (_I0, i * r), (r, r))
+            if i:
+                S = jnp.matmul(
+                    Lrow[:, : i * r], W_loc[: i * r], precision=_HI
+                )  # (r, r)
+            else:
+                S = jnp.zeros((r, r), dtype)
+            Ldi = Lrow[:, i * r:(i + 1) * r]
             E = (
                 (i * r + jnp.arange(r))[:, None] == rowid[None, :]
             ).astype(dtype)
             Wi = solve_triangular(Ldi, E - S, lower=True)
-            return jax.lax.dynamic_update_slice(W_loc, Wi, (i * r, _I0))
-
-        W_loc = jax.lax.fori_loop(
-            0, ntp, inv_step, jnp.zeros((n_pad, r), dtype)
-        )
+            W_loc = W_loc.at[i * r:(i + 1) * r, :].set(Wi)
 
         # -- equality coupling Y = W (D Gᵀ), replicated (p is small) --
         if p:

@@ -203,6 +203,42 @@ def main() -> None:
                         tp_collectives=len(found),
                         tp_collectives_by_type=by_type))
 
+    # distributed-factor FLOP accounting from XLA's own cost model: the
+    # unrolled static-trailing-slice panel scheme should cost ~n³/2 + n³/2
+    # across the mesh for Gram-free chol+inverse (vs n_pad³ + n_pad³ for
+    # the naive full-width variant and 2n³/3 for the sequential ideal),
+    # plus the 2·m·n² Gram. Evidence the kernel does the FLOPs it claims.
+    from conicip_tpu.parallel.distributed import _make_factor_kernel
+
+    ntp_f = min(8, ndev_avail)
+    if ndev_avail >= ntp_f and ntp_f >= 2:
+        mesh3 = make_mesh((ntp_f,), ("tp",), devices=jax.devices()[:ntp_f])
+        n_pad = 256
+        m_pad = 2 * n_pad
+        fk = _make_factor_kernel(mesh3, "tp", n_pad, 0, jnp.float64)
+        fshapes = (
+            jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float64),
+            jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float64),
+            jax.ShapeDtypeStruct((0, n_pad), jnp.float64),
+            jax.ShapeDtypeStruct((), jnp.float64),
+            jax.ShapeDtypeStruct((), jnp.float64),
+        )
+        ca = jax.jit(fk).lower(*fshapes).compile().cost_analysis()
+        # XLA's SPMD cost model reports PER-DEVICE flops
+        flops_dev = float(ca.get("flops", float("nan")))
+        gram_dev = 2.0 * m_pad * n_pad**2 / ntp_f
+        chol_inv_ideal_dev = (2.0 * n_pad**3 / 3.0) / ntp_f
+        print(f"── distributed factor kernel FLOPs per device (XLA cost "
+              f"model, n={n_pad}, m={m_pad}, {ntp_f} devices) ──")
+        print(f"compiled={flops_dev:.3e}; Gram share={gram_dev:.3e}; "
+              f"chol+L⁻¹ ideal share={chol_inv_ideal_dev:.3e}; "
+              f"parallel overhead vs (Gram+ideal)/ntp="
+              f"{flops_dev / (gram_dev + chol_inv_ideal_dev):.2f}x")
+        results.append(dict(factor_kernel_flops_per_device=flops_dev,
+                            factor_gram_flops_per_device=gram_dev,
+                            factor_cholinv_ideal_per_device=chol_inv_ideal_dev,
+                            factor_devices=ntp_f, factor_n=n_pad))
+
     print("── wall clock on the OVERSUBSCRIBED virtual mesh "
           "(not a scaling claim) ──")
     base_rate = None
