@@ -503,6 +503,13 @@ def _solve_batch_eliminated(
             x_w = (y_w - y0) @ np.asarray(basis.Z)
             sub_warm = (x_w, None, v_w)
 
+    if ("centralityCorrectors" not in options
+            and not ConeSpec(tuple(cone_dims)).sdp_groups):
+        # reduced (equality-origin) R/Q batches measure a further saved
+        # iteration at K=2 with zero regressions (same sweep evidence as
+        # conic_ip._solve_eliminated)
+        options = {**options, "centralityCorrectors": 2}
+
     sub = solve_batch(
         Q_red, c_red, A_red, b_red, cone_dims, mesh=mesh,
         batch_axis=batch_axis, factor_dtype=factor_dtype, dtype=dtype,

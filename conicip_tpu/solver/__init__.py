@@ -441,6 +441,12 @@ def _solve_eliminated(
     # The least-squares dual recovery can amplify the reduced-space dual
     # residual by a modest factor; when the recovered full-space rDu misses
     # optTol, one retry at a tighter reduced tolerance closes the gap.
+    if centralityCorrectors is None:
+        # Reduced (equality-origin) problems measure one further saved
+        # iteration at K=2 with zero regressions across seeds (mixed_rq_eq
+        # sweep: 81 -> 76 total iters over 8 seeds, never worse) — unlike
+        # the general dense path, where K=2 traded larger_sdp 4 -> 5.
+        centralityCorrectors = 2
     sub_tol = optTol
     for _attempt in range(2):
         sub = conic_ip(
