@@ -1,3 +1,4 @@
+from .conic_form import ConeDims, ConicFormResult, solve_conic_form
 from .model import Optimizer, TerminationStatus
 from .sets import (
     EqualTo,
@@ -13,6 +14,9 @@ from .sets import (
 __all__ = [
     "Optimizer",
     "TerminationStatus",
+    "ConeDims",
+    "ConicFormResult",
+    "solve_conic_form",
     "Zeros",
     "Nonnegatives",
     "Nonpositives",

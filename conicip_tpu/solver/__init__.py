@@ -42,7 +42,9 @@ def resolve_factor_dtype(factor_dtype):
         if factor_dtype != "auto":
             raise ValueError(f"unknown factor_dtype {factor_dtype!r}")
         backend = jax.default_backend()
-        return jnp.float32 if backend not in ("cpu",) else None
+        # Only TPU-like backends (no fast native f64) get the f32+ladder
+        # default; CPU and GPU have real f64 units — reference semantics.
+        return jnp.float32 if backend in ("tpu", "axon") else None
     return factor_dtype
 
 
