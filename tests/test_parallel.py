@@ -132,8 +132,9 @@ def _tp_problem(n, cones, p=0, seed=1):
         ([("R", 24)], 3),  # equalities through the sharded W couplings
         ([("R", 10), ("Q", 5), ("Q", 5)], 0),  # SOC groups
         ([("R", 8), ("Q", 4), ("S", 10)], 2),  # full R+Q+S mix + equalities
+        ([("R", 24)], 5),  # p=5 > r=3: equality coupling wider than a panel
     ],
-    ids=["pad", "eq", "soc", "rqs_eq"],
+    ids=["pad", "eq", "soc", "rqs_eq", "wide_eq"],
 )
 def test_kktsolver_schur_tp_general_specs(cones, p):
     # the sharded path must support EVERY cone spec (round-1 VERDICT item 4)
