@@ -51,7 +51,7 @@ from jax.scipy.linalg import solve_triangular
 
 from ..cones import scaling as sc
 from ..cones.spec import ConeSpec
-from ..ops.cholesky import cholesky
+from ..ops.cholesky import cholesky, tri_inv
 from .pivot import pivot
 
 __all__ = ["kktsolver_2x2", "kktsolver_schur"]
@@ -142,7 +142,9 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None,
                 )
             # One-time explicit triangular inverse: every subsequent
             # back-solve becomes two GEMVs (module docstring cost model).
-            return solve_triangular(L, Ik, lower=True)
+            # ops/cholesky.tri_inv routes emulated-f64 through the blocked
+            # GEMM-dominant kernel on TPU.
+            return tri_inv(L)
 
         Ms, dscale = _equilibrate(M)
         Linv = _factor_inv(Ms, n)

@@ -86,9 +86,10 @@ class IPMOptions:
     # generator to its full-precision branch once the carried residual is
     # within this factor of tolerance (0 = reactive-only, the default:
     # fire on the first non-improving iteration near tolerance). Proactive
-    # firing trades f64-assembly cost for the 1-2 iterations a reactive
-    # trigger wastes detecting the stall — worthwhile when f64 iterations
-    # are cheap relative to wasted f32 ones (small/medium n).
+    # firing trades full-precision factorization cost for the 1-2
+    # iterations a reactive trigger wastes detecting the stall — cheap
+    # since the blocked GEMM-dominant emulated-f64 kernels
+    # (ops/blocked64.py) carry the slow branch.
     lastmileProactive: float = 0.0
 
     @property
@@ -564,9 +565,18 @@ def ipm_solve(
             | ~jnp.isfinite(R.rmax)
         )
         if opts.lastmileProactive > 0:
-            # proactive variant (see IPMOptions): enter the full-precision
+            # Proactive variant (see IPMOptions): enter the full-precision
             # branch as soon as the residual is near tolerance, before a
-            # stall wastes iterations
+            # stall wastes iterations. Firing on still-improving iterations
+            # is deliberate — near tolerance an f32 step achieves less
+            # residual reduction than a full-precision one even when
+            # healthy (a stagnation-gated variant was measured to cost +2
+            # iterations on many_small_socs), and the full-precision branch
+            # is cheap: its factorization runs through the blocked
+            # GEMM-dominant emulated-f64 kernels (ops/blocked64.py), ~1.2x
+            # an f32 iteration rather than the ~10x of XLA's monolithic
+            # f64 cholesky that made proactive firing a 4.5x wall-time
+            # regression on box_qp_dense in the round-3 battery.
             lm_on = lm_on | (
                 R.rmax < opts.lastmileProactive * opts.optTol
             )

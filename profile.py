@@ -31,6 +31,11 @@ def main() -> None:
     ap.add_argument("--trace", type=str, default=None)
     ap.add_argument("--factor-dtype", type=str, default="float32",
                     choices=["float32", "float64"])
+    ap.add_argument("--families", type=str, default=None,
+                    help="comma-separated substring filters on family "
+                    "names (e.g. 'sdp,mixed'); default all. Lets the "
+                    "battery run heavy families in separate processes — "
+                    "fresh step timeout and tunnel-worker isolation each")
     ap.add_argument(
         "--chained", type=int, default=0, metavar="K",
         help="device-honest mode: chain K distinct full production solves "
@@ -110,7 +115,7 @@ def main() -> None:
           "one jit for tunnel-proof numbers", file=sys.stderr)
 
     results = []
-    for gen in ALL_GENERATORS:
+    for gen in _pick_generators(args):
         # distinct instances per trial to defeat any execution caching
         probs = [gen(seed=42 + t) for t in range(args.trials + 1)]
         spec = ConeSpec(probs[0].cone_dims)
@@ -186,6 +191,19 @@ def main() -> None:
         print(f"report written to {args.json}", file=sys.stderr)
 
 
+def _pick_generators(args):
+    from conicip_tpu.models import ALL_GENERATORS
+
+    if not getattr(args, "families", None):
+        return ALL_GENERATORS
+    pats = [p.strip() for p in args.families.split(",") if p.strip()]
+    picked = [g for g in ALL_GENERATORS
+              if any(p in g(seed=42).name for p in pats)]
+    if not picked:
+        raise SystemExit(f"no family matches {pats}")
+    return picked
+
+
 def _run_chained(args, opts, ladder) -> None:
     """Device-honest per-family timing: chain K full production solves —
     the f32 fast path plus the escalation ladder as in-jit ``lax.cond``
@@ -225,7 +243,7 @@ def _run_chained(args, opts, ladder) -> None:
           file=sys.stderr)
 
     results = []
-    for gen in ALL_GENERATORS:
+    for gen in _pick_generators(args):
         probs = [gen(seed=42 + t) for t in range(2 * K)]
         name = probs[0].name
         n = len(probs[0].c)

@@ -52,8 +52,14 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64,
                     help="instances per batched solve (default 64)")
-    ap.add_argument("--K", type=int, default=8,
-                    help="chain length; rate = (2K-chain) - (K-chain)")
+    ap.add_argument("--K", type=int, default=1,
+                    help="chain length; rate = (2K-chain) - (K-chain). "
+                    "Keep small: one batched ladder solve is already "
+                    "seconds of device time, so the ~100 ms fixed tunnel "
+                    "cost the differencing cancels is minor — and a long "
+                    "in-jit chain makes a single execute RPC run many "
+                    "minutes, which was observed to crash the tunneled "
+                    "TPU worker (watchdog 'worker crashed or restarted')")
     ap.add_argument("--families", nargs="*", default=None,
                     help="subset of families (default: all)")
     ap.add_argument("--reps", type=int, default=3)

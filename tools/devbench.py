@@ -86,6 +86,21 @@ def main() -> None:
     devtime("gemv f32", lambda a, v: a @ v * (1.0 / n), M32, v32, r2=args.r2 * 4)
     devtime("gemv f64", lambda a, v: a @ v * (1.0 / n), M64, v64, r2=args.r2 * 4)
     devtime("chol f32 (XLA)", jnp.linalg.cholesky, M32, r1=10, r2=60)
+    devtime("chol f64 (XLA monolithic)", jnp.linalg.cholesky, M64,
+            r1=2, r2=6)
+    from conicip_tpu.ops.blocked64 import blocked_cholesky, blocked_tri_inv
+
+    devtime("chol f64 (blocked GEMM)", blocked_cholesky, M64, r1=5, r2=25)
+    L64 = jax.block_until_ready(blocked_cholesky(M64))
+    devtime("tri_inv f64 (blocked GEMM)", blocked_tri_inv, L64,
+            r1=5, r2=25)
+    devtime(
+        "matmul f64 HIGHEST",
+        lambda a: jnp.matmul(a, a, precision=jax.lax.Precision.HIGHEST)
+        * (1.0 / n),
+        M64,
+        r1=10, r2=60,
+    )
     if pallas_cholesky_available(n, jnp.float32):
         devtime("chol f32 (pallas)", _cholesky_pallas, M32, r1=10, r2=60)
     devtime(

@@ -135,6 +135,44 @@ def main() -> None:
     print(f"composite rate: {f_kkt/t_comp/1e12:.2f} TF/s; "
           f"sum of parts {1e3*(t_gram+t_chol+t_inv):.3f} ms")
 
+    # precision-mode GEMM sweep: is HIGHEST lowered to the (slow, ~1 TF/s
+    # f32) VPU path instead of multi-pass MXU? If HIGH (bf16x3) runs at
+    # MXU rate, the Gram/KKT matmuls should carry HIGH + refinement
+    # instead of HIGHEST.
+    for prec, tag in ((None, "DEFAULT"), (jax.lax.Precision.HIGH, "HIGH"),
+                      (_HI, "HIGHEST")):
+        def gemm(v, prec=prec):
+            Atil = A * (dinv + 1e-30 * v[0])[:, None]
+            M = (jnp.matmul(Atil.T, Atil, precision=prec) if prec
+                 else jnp.matmul(Atil.T, Atil))
+            return M[:, 0]
+
+        t = slope_feedback(gemm)
+        print(f"gemm {tag:8s}: {t*1e3:8.3f} ms  "
+              f"{2.0*m*n*n/t/1e12:7.2f} TF/s")
+
+    # and the same three for an f32x3-style manual split: hi = bf16(A),
+    # lo = A - hi; A'A = hi'hi + hi'lo + lo'hi (drops lo'lo ~ 2^-16 rel)
+    def gemm_split(v):
+        At = A * (dinv + 1e-30 * v[0])[:, None]
+        hi = At.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = At - hi
+        M = (jnp.matmul(hi.T, hi) + jnp.matmul(hi.T, lo)
+             + jnp.matmul(lo.T, hi))
+        return M[:, 0]
+
+    t = slope_feedback(gemm_split)
+    print(f"gemm bf16x3-manual: {t*1e3:8.3f} ms  "
+          f"{2.0*m*n*n/t/1e12:7.2f} TF/s")
+    err = jnp.max(jnp.abs(
+        gemm_split(v0) - jnp.matmul((A * dinv[:, None]).T,
+                                    (A * dinv[:, None]),
+                                    precision=_HI)[:, 0]))
+    rel = float(err) / float(jnp.max(jnp.abs(
+        jnp.matmul((A * dinv[:, None]).T, (A * dinv[:, None]),
+                   precision=_HI))))
+    print(f"bf16x3-manual max rel err vs HIGHEST: {rel:.2e}")
+
     if args.trace:
         f = jax.jit(kkt_iter)
         np.asarray(f(A, Qd, dinv, v0))  # warm

@@ -27,7 +27,7 @@ run devbench python tools/devbench.py --n 1024
 run roofline python tools/roofline.py
 
 # 4. batched throughput story (VERDICT item 1 route b)
-run bench_batched python tools/bench_batched.py --batch 64 --K 8
+run bench_batched python tools/bench_batched.py --batch 64 --K 1
 
 # 5. per-family chained table (production config incl. correctors)
 run profile_chained python profile.py --chained 8 --factor-dtype float32 \

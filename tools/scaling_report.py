@@ -239,8 +239,90 @@ def main() -> None:
                             factor_cholinv_ideal_per_device=chol_inv_ideal_dev,
                             factor_devices=ntp_f, factor_n=n_pad))
 
+    # ── TP strong-scaling model from the compiled SPMD programs ──
+    # This host exposes ONE physical CPU core (nproc=1), so virtual-mesh
+    # wall clock cannot support any scaling claim (8 virtual devices
+    # time-slice one core; the apparent dp "droop" at 8 devices is pure
+    # oversubscription). What the compiled programs DO establish honestly:
+    #   * per-device FLOPs of the distributed factor kernel at each ntp
+    #     (XLA's own cost model on the optimized SPMD module), and
+    #   * the exact collective census with operand shapes → bytes on ICI.
+    # Modeled time per refactorization at stated v5e rates:
+    #   compute = flops_dev / R_eff   (measured f32-HIGHEST KKT-mix rate)
+    #   comm    = bytes_dev / BW_ici  (effective all-gather/psum bandwidth)
+    # efficiency(ntp) = T_model(1) / (ntp * T_model(ntp)).
+    from conicip_tpu.parallel.distributed import _make_factor_kernel
+
+    R_EFF = 1.6e12  # measured f32-HIGHEST GEMM rate on v5e (roofline run)
+    BW_ICI = 90e9   # assumed effective per-device ICI bandwidth (bytes/s):
+    #                 v5e public 1600 Gbps aggregate ≈ 200 GB/s; ~45%
+    #                 achievable for medium (n·r) messages
+
+    _SHAPED = re.compile(r"(f32|f64|bf16)\[([0-9,]*)\]")
+
+    def _collective_bytes(hlo: str) -> int:
+        total = 0
+        for line in hlo.splitlines():
+            if not COLLECTIVES.search(line):
+                continue
+            m = _SHAPED.search(line)  # result shape of the collective
+            if not m:
+                continue
+            dt, dims = m.groups()
+            nelem = 1
+            for d in dims.split(","):
+                if d:
+                    nelem *= int(d)
+            total += nelem * (8 if dt == "f64" else 4 if dt == "f32" else 2)
+        return total
+
+    def tp_model(n_pad: int, dtype):
+        rows = []
+        t1 = None
+        for ntp in (1, 2, 4, 8):
+            if ntp > ndev_avail:
+                break
+            meshk = make_mesh((ntp,), ("tp",), devices=jax.devices()[:ntp])
+            m_pad = 2 * n_pad
+            fk = _make_factor_kernel(meshk, "tp", n_pad, 0, dtype)
+            fshapes = (
+                jax.ShapeDtypeStruct((m_pad, n_pad), dtype),
+                jax.ShapeDtypeStruct((n_pad, n_pad), dtype),
+                jax.ShapeDtypeStruct((0, n_pad), dtype),
+                jax.ShapeDtypeStruct((), dtype),
+                jax.ShapeDtypeStruct((), dtype),
+            )
+            compiled = jax.jit(fk).lower(*fshapes).compile()
+            flops_dev = float(compiled.cost_analysis().get("flops", 0.0))
+            bytes_dev = _collective_bytes(compiled.as_text())
+            t_comp = flops_dev / R_EFF
+            t_comm = bytes_dev / BW_ICI if ntp > 1 else 0.0
+            t_tot = t_comp + t_comm
+            if t1 is None:
+                t1 = t_tot
+            eff = t1 / (ntp * t_tot)
+            rows.append(dict(
+                tp_model_ntp=ntp, n=n_pad,
+                flops_per_device=flops_dev,
+                collective_bytes_per_device=bytes_dev,
+                t_compute_ms=round(t_comp * 1e3, 2),
+                t_comm_ms=round(t_comm * 1e3, 2),
+                strong_scaling_eff=round(eff, 3),
+            ))
+            print(f"ntp={ntp} n={n_pad}: {flops_dev:.3e} FLOP/dev, "
+                  f"{bytes_dev/1e6:.2f} MB collectives/dev -> model "
+                  f"{t_comp*1e3:.2f}+{t_comm*1e3:.2f} ms, "
+                  f"efficiency {eff:.0%}")
+        return rows
+
+    print("── TP strong-scaling model (compiled per-device FLOPs + "
+          f"collective bytes; R_eff={R_EFF/1e12:.1f} TF/s, "
+          f"ICI={BW_ICI/1e9:.0f} GB/s assumed) ──")
+    for n_model in (1024, 2048):
+        results.extend(tp_model(n_model, jnp.float32))
+
     print("── wall clock on the OVERSUBSCRIBED virtual mesh "
-          "(not a scaling claim) ──")
+          "(not a scaling claim; this host has nproc=1) ──")
     base_rate = None
     for ndev in (1, 2, 4, 8):
         if ndev > ndev_avail:
