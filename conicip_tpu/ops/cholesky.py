@@ -32,7 +32,7 @@ def cholesky(M: jnp.ndarray, factor_dtype=None) -> jnp.ndarray:
     # Emulated-f64 on TPU: XLA's monolithic op serializes the
     # double-double recurrences (measured 69 ms at n=1024 on v5e); the
     # blocked kernel puts ~all FLOPs in 2.3 TF/s f64 GEMMs instead.
-    if M.dtype == jnp.float64 and M.ndim == 2 and M.shape[0] > 256 \
+    if M.dtype == jnp.float64 and M.ndim == 2 and M.shape[0] > 64 \
             and _tpu_like():
         from .blocked64 import blocked_cholesky
 
@@ -70,7 +70,7 @@ def tri_inv(L: jnp.ndarray) -> jnp.ndarray:
     inverse that turns every back-solve into two GEMVs — kkt/schur.py
     cost model), routed through the blocked GEMM-dominant kernel for
     emulated-f64 on TPU."""
-    if L.dtype == jnp.float64 and L.ndim == 2 and L.shape[0] > 256 \
+    if L.dtype == jnp.float64 and L.ndim == 2 and L.shape[0] > 64 \
             and _tpu_like():
         from .blocked64 import blocked_tri_inv
 

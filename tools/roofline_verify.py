@@ -73,7 +73,8 @@ def main() -> None:
             def run(v):
                 def body(i, v):
                     y = op_on_v(v)
-                    return y / (jnp.linalg.norm(y) + 1.0) + v * 1e-6
+                    out = y / (jnp.linalg.norm(y) + 1.0) + v * 1e-6
+                    return out.astype(v.dtype)
 
                 return jax.lax.fori_loop(0, reps, body, v)
 
