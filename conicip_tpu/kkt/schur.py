@@ -52,6 +52,7 @@ from jax.scipy.linalg import solve_triangular
 from ..cones import scaling as sc
 from ..cones.spec import ConeSpec
 from ..ops.cholesky import cholesky, tri_inv
+from ..ops.control import retry_while
 from .pivot import pivot
 
 __all__ = ["kktsolver_2x2", "kktsolver_schur"]
@@ -129,17 +130,21 @@ def kktsolver_2x2(Q, A, G, spec: ConeSpec, *, factor_dtype=None,
             # diagonal) plus a tiny relative ridge keeps the factorization
             # finite; the exact perturbation is corrected by refinement.
             Ik = jnp.eye(k, dtype=odt)
-            L = cholesky(Ms + ridge * Ik)
-            # Escalating-ridge retries: SOC rank-1 scaling terms span ~16
-            # decades near convergence and their rounded assembly can
-            # leave Ms indefinite beyond the base ridge — a NaN factor
-            # would otherwise poison the step.
-            for boost in (1e3, 1e6):
-                L = jax.lax.cond(
-                    jnp.all(jnp.isfinite(L)),
-                    lambda L=L: L,
-                    lambda boost=boost: cholesky(Ms + (boost * ridge) * Ik),
-                )
+            # Escalating-ridge retries (boosts 1e3 then 1e6): SOC rank-1
+            # scaling terms span ~16 decades near convergence and their
+            # rounded assembly can leave Ms indefinite beyond the base
+            # ridge — a NaN factor would otherwise poison the step.
+            # retry_while, not a lax.cond chain: under vmap (the batched
+            # solvers) conds become selects and every instance would pay
+            # THREE factorizations per iteration unconditionally.
+            L = retry_while(
+                lambda L: ~jnp.all(jnp.isfinite(L)),
+                lambda boost: cholesky(Ms + (boost * ridge) * Ik),
+                cholesky(Ms + ridge * Ik),
+                jnp.asarray(1e3, odt),
+                1e3,
+                1e7,
+            )
             # One-time explicit triangular inverse: every subsequent
             # back-solve becomes two GEMVs (module docstring cost model).
             # ops/cholesky.tri_inv routes emulated-f64 through the blocked

@@ -183,14 +183,15 @@ def batched_small_sdp(batch: int, k: int = 10, seed: int = 0):
     return Q, c, A, b, [("S", n)]
 
 
-def batched_mixed_rq_eq(batch: int, n: int = 60, seed: int = 0):
+def batched_mixed_rq_eq(batch: int, n: int = 60, seed: int = 0,
+                        n_q: int = 21, p: int = 6):
     """Stacked independent mixed R+Q instances with a SHARED equality
     system (shape of profile.jl:99-113 batched): the scenario pattern —
     per-instance objectives/right-hand sides under one set of coupling
-    equalities — that exercises the batched null-space elimination."""
+    equalities — that exercises the batched null-space elimination.
+    ``n=200, n_q=51, p=10`` reproduces the reference family's exact
+    shape (tools/bench_batched.py uses it for the honest comparison)."""
     rng = np.random.default_rng(seed)
-    n_q = 21
-    p = 6
     Q = np.broadcast_to(np.eye(n), (batch, n, n)).copy()
     c = rng.standard_normal((batch, n))
     A_q = (rng.random((n_q, n)) < 0.2) * rng.standard_normal((n_q, n))
@@ -237,3 +238,19 @@ ALL_GENERATORS = [
     mixed_rq_eq,
     mixed_rqs,
 ]
+
+# Static default-parameter family names so callers (profile.py
+# _pick_generators) can filter without instantiating full dense problem
+# data. Must match the instance ``.name`` each generator produces at its
+# defaults (asserted by tests/test_ipm_conic.py::test_family_names_static).
+for _g, _n in [
+    (box_qp_dense, "box_qp_dense(n=500)"),
+    (box_qp_sparse, "box_qp_sparse(n=1000)"),
+    (single_soc, "single_soc(n=500)"),
+    (many_small_socs, "many_small_socs(k=250,n=500)"),
+    (small_sdp, "small_sdp(k=10)"),
+    (larger_sdp, "small_sdp(k=30)"),  # larger_sdp delegates to small_sdp
+    (mixed_rq_eq, "mixed_rq_eq(n=200,p=10)"),
+    (mixed_rqs, "mixed_rqs(n=86)"),
+]:
+    _g.family_name = _n

@@ -43,6 +43,8 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+from .control import cond_once
+
 __all__ = ["blocked_cholesky", "blocked_tri_inv"]
 
 _HI = jax.lax.Precision.HIGHEST
@@ -85,11 +87,12 @@ def _base_chol(Ajj: jnp.ndarray, steps: int = 3) -> jnp.ndarray:
     ok = jnp.isfinite(resid) & (
         resid < 1e3 * jnp.finfo(Ajj.dtype).eps * r * scale
     )
-    return jax.lax.cond(
-        ok,
-        lambda: L,
-        lambda: jnp.linalg.cholesky(Ajj),
-    )
+    # cond_once, not lax.cond: under vmap (the batched f64 rescue tier)
+    # a cond becomes a select and the serialized monolithic f64 cholesky
+    # would run for EVERY block of EVERY instance — the exact cost this
+    # kernel exists to avoid. cond_once pays it only when some instance's
+    # block actually failed to refine.
+    return cond_once(~ok, lambda: jnp.linalg.cholesky(Ajj), L)
 
 
 def _newton_tri_inv_seeded(Ljj: jnp.ndarray, steps: int = 3) -> jnp.ndarray:
@@ -126,11 +129,22 @@ def _newton_tri_inv(Ljj: jnp.ndarray, steps: int = 3) -> jnp.ndarray:
         # upper-triangle noise through the GEMMs)
         X = jnp.tril(X)
     resid = jnp.max(jnp.abs(jnp.matmul(Ljj, X, precision=_HI) - I))
-    ok = jnp.isfinite(resid) & (resid < 1e3 * jnp.finfo(Ljj.dtype).eps * r)
-    return jax.lax.cond(
-        ok,
-        lambda: X,
-        lambda: solve_triangular(Ljj, I, lower=True),
+    # Acceptance tracks the ATTAINABLE accuracy: the converged Newton
+    # residual is ~eps·r·‖L‖∞‖X‖∞ (the GEMM rounding bound — ‖L‖‖X‖ ≈
+    # κ(L)), and the exact solve_triangular fallback reaches the same
+    # eps·κ forward error, so a κ-blind absolute threshold only causes
+    # spurious fallbacks for well-refined ill-conditioned blocks
+    # (run-to-run perf jitter). Failure to converge shows up orders of
+    # magnitude above this bound (Newton squares the error per step).
+    eps = jnp.finfo(Ljj.dtype).eps
+    nL = jnp.max(jnp.sum(jnp.abs(Ljj), axis=1))
+    nX = jnp.max(jnp.sum(jnp.abs(X), axis=1))
+    tol = 30.0 * eps * r * jnp.maximum(1.0, nL * nX)
+    ok = jnp.isfinite(resid) & (resid < tol)
+    # cond_once: see _base_chol — a vmapped lax.cond would run the
+    # serialized exact solve for every instance unconditionally.
+    return cond_once(
+        ~ok, lambda: solve_triangular(Ljj, I, lower=True), X
     )
 
 

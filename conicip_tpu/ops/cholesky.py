@@ -30,9 +30,13 @@ def cholesky(M: jnp.ndarray, factor_dtype=None) -> jnp.ndarray:
     if factor_dtype is not None and factor_dtype != in_dtype:
         M = M.astype(factor_dtype)
     # Emulated-f64 on TPU: XLA's monolithic op serializes the
-    # double-double recurrences (measured 69 ms at n=1024 on v5e); the
-    # blocked kernel puts ~all FLOPs in 2.3 TF/s f64 GEMMs instead.
-    if M.dtype == jnp.float64 and M.ndim == 2 and M.shape[0] > 64 \
+    # double-double recurrences at ~65 µs PER COLUMN on v5e (69 ms at
+    # n=1024, and still ~3.6 ms at n=55 — tools/devbench.py); the blocked
+    # kernel puts ~all FLOPs in 2.3 TF/s f64 GEMMs instead. The threshold
+    # covers even tiny factors: the batched f64 rescue tier (solve_batch)
+    # vmaps this over B instances, where the f32-seed + GEMM-refine base
+    # case batches on the MXU while the monolithic op stays serial.
+    if M.dtype == jnp.float64 and M.ndim == 2 and M.shape[0] > 8 \
             and _tpu_like():
         from .blocked64 import blocked_cholesky
 
@@ -70,7 +74,7 @@ def tri_inv(L: jnp.ndarray) -> jnp.ndarray:
     inverse that turns every back-solve into two GEMVs — kkt/schur.py
     cost model), routed through the blocked GEMM-dominant kernel for
     emulated-f64 on TPU."""
-    if L.dtype == jnp.float64 and L.ndim == 2 and L.shape[0] > 64 \
+    if L.dtype == jnp.float64 and L.ndim == 2 and L.shape[0] > 8 \
             and _tpu_like():
         from .blocked64 import blocked_tri_inv
 

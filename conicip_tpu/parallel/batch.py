@@ -317,16 +317,40 @@ def solve_batch(
     if factor_dtype == jnp.float32 and backstop:
         from ..solver import _default_kktsolver
 
-        fused_tiers = tuple(
-            [(_default_kktsolver(jnp.float32, jnp.float64),
-              IPMOptions(**{**options, "mixedResiduals": True,
-                            "fastEig": False}))]
-            if not spec.sdp_groups else []
-        ) + (
-            (_default_kktsolver(None),
-             IPMOptions(**{**options, "mixedResiduals": False,
-                           "fastEig": False})),
-        )
+        from ..ops.cholesky import _tpu_like
+
+        if not spec.sdp_groups:
+            fused_tiers = (
+                (_default_kktsolver(jnp.float32, jnp.float64),
+                 IPMOptions(**{**options, "mixedResiduals": True,
+                               "fastEig": False})),
+                (_default_kktsolver(None),
+                 IPMOptions(**{**options, "mixedResiduals": False,
+                               "fastEig": False})),
+            )
+        else:
+            # S-cone rescue, two tiers on TPU: first the f64 KKT tier
+            # with f32 decompositions — on v5e the emulated-f64 eigh
+            # serializes at ~100x the latency for barely better accuracy
+            # (the ~5e-7 NT-property floor), and with the blocked f64
+            # factorization (ops/blocked64.py) this tier rescues the
+            # common f32-factorization stall at near-f32 cost. A final
+            # full-precision-decomposition tier backstops the rare
+            # instance whose 1e-6 certification needs the extra
+            # decomposition digits (measured: ~1 in 6 on the batched
+            # small-SDP family). Tiers are batch-level cond-gated, so an
+            # unneeded tier costs nothing. On CPU the f32-decomposition
+            # tier is pointless (native f64 eigh is fast) — skip it.
+            fused_tiers = (
+                ((_default_kktsolver(None),
+                  IPMOptions(**{**options, "mixedResiduals": False,
+                                "fastEig": True})),)
+                if _tpu_like() else ()
+            ) + (
+                (_default_kktsolver(None),
+                 IPMOptions(**{**options, "mixedResiduals": False,
+                               "fastEig": False})),
+            )
         if spec.sdp_groups and "fastEig" not in options:
             # Batched fast tier: run the S-cone decompositions (NT
             # scaling, max-step, Lyapunov) in f32 — same effective
@@ -410,6 +434,8 @@ def solve_batch(
             vj = jnp.asarray(np.where(ok, vb, 1.0), dtype)
             sj = jnp.einsum("bij,bj->bi", As, yj,
                             precision=jax.lax.Precision.HIGHEST) - bs
+            # full-precision decompositions: the host ladder is the last
+            # safety net (the fused in-jit tiers already tried fastEig)
             opts_next = IPMOptions(**{**options, "mixedResiduals": mixed_next})
             solver_next = make_batched_warm_solver(spec, kkt_next, opts_next)
             sti = jax.block_until_ready(

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from ..cones import algebra as ca
 from ..cones import scaling as sc
 from ..cones.spec import ConeSpec
+from ..ops.control import cond_once
 from .state import SolState, Status, Vec4
 
 __all__ = ["IPMOptions", "ipm_solve"]
@@ -424,10 +425,12 @@ def ipm_solve(
             # best-iterate choices) are no longer trustworthy — recertify.
             fire = fire | (drift > 0.1 * R_est.rmax)
 
-            def _fire(zz):
-                return products_full(zz.y, zz.w, zz.v)
-
-            P = jax.lax.cond(fire, _fire, lambda zz: P, z)
+            # cond_once, not lax.cond: under vmap (solve_batch) a cond
+            # becomes a select and the emulated-f64 recompute would run
+            # for every instance EVERY iteration — cond_once keeps it one
+            # batched pass on the (typically one) iteration where some
+            # instance's tolerance decision actually needs certifying.
+            P = cond_once(fire, lambda: products_full(z.y, z.w, z.v), P)
             drift = jnp.where(fire, 0.0, drift)
             R = residual_block(P, z, lam)
         else:

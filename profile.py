@@ -197,8 +197,12 @@ def _pick_generators(args):
     if not getattr(args, "families", None):
         return ALL_GENERATORS
     pats = [p.strip() for p in args.families.split(",") if p.strip()]
+    # match on the static family_name attribute — instantiating every
+    # family just to read .name builds full dense problem matrices for
+    # nothing (and larger_sdp's instance name is "small_sdp(k=30)", so
+    # the function __name__ alone cannot serve the battery's patterns)
     picked = [g for g in ALL_GENERATORS
-              if any(p in g(seed=42).name for p in pats)]
+              if any(p in g.family_name for p in pats)]
     if not picked:
         raise SystemExit(f"no family matches {pats}")
     return picked

@@ -397,3 +397,43 @@ def test_batched_sdp_fasteig_certifies():
         resid = np.maximum(bs.prFeas, np.maximum(bs.duFeas, bs.muFeas))
         assert float(np.max(resid)) < 1e-6
     np.testing.assert_allclose(fast.pobj, slow.pobj, rtol=1e-5, atol=1e-5)
+
+
+def test_batched_sdp_fasteig_rescue_tier_certifies():
+    # The TPU production SDP rescue ladder: first the f64-KKT tier with
+    # f32 decompositions (fastEig=True — cheap on v5e, where emulated-f64
+    # eigh serializes), then the full-precision-decomposition final tier
+    # backstopping instances whose 1e-6 certification needs the extra
+    # decomposition digits (~1 in 6 on this family with fastEig alone).
+    # Exercise that exact ladder directly (it is backend-gated in
+    # solve_batch, so CPU CI would otherwise never compile it): every
+    # instance must certify 1e-6.
+    import jax.numpy as jnp
+
+    from conicip_tpu.models.generators import batched_small_sdp
+    from conicip_tpu.parallel.batch import make_batched_ladder_solver
+    from conicip_tpu.solver import _default_kktsolver
+    from conicip_tpu.solver.ipm import IPMOptions
+
+    Q, c, A, b, cones = batched_small_sdp(6)
+    spec = ct.ConeSpec(cones)
+    n = c.shape[-1]
+    tiers = (
+        (_default_kktsolver(None),
+         IPMOptions(optTol=1e-6, mixedResiduals=False, fastEig=True)),
+        (_default_kktsolver(None),
+         IPMOptions(optTol=1e-6, mixedResiduals=False, fastEig=False)),
+    )
+    solver = make_batched_ladder_solver(
+        spec, _default_kktsolver(jnp.float32), tiers,
+        IPMOptions(optTol=1e-6, mixedResiduals=True, fastEig=True),
+    )
+    Gb = jnp.zeros((6, 0, n))
+    db = jnp.zeros((6, 0))
+    st = solver(jnp.asarray(Q), jnp.asarray(c), jnp.asarray(A),
+                jnp.asarray(b), Gb, db)
+    assert np.all(np.asarray(st.status) == 1)  # Optimal
+    resid = np.maximum(np.asarray(st.prFeas),
+                       np.maximum(np.asarray(st.duFeas),
+                                  np.asarray(st.muFeas)))
+    assert float(np.max(resid)) < 1e-6

@@ -10,12 +10,21 @@ instances solve as ONE device program whose per-iteration work is batched
 eigh/chol/matmul — exactly the shapes the MXU and the batched Jacobi
 eigensolver like.
 
+Problem shapes MATCH the reference profile families exactly (so the
+solves/s comparison is honest): small_sdp k=10, mixed_rqs n=86, box QP
+n=500 dense Q, mixed_rq_eq n=200/n_q=51/p=10. Large per-instance data
+(the 64 dense 500×500 Qs) is generated ON DEVICE — one in-jit PRNG pass
+instead of an hours-long crawl through the ~100 ms/MB tunnel.
+
 Measurement (tunnel-honest, same discipline as bench.py): each batched
 solve handles B instances with DISTINCT data; K and 2K batched solves are
 chained inside one jit via ``lax.fori_loop`` and the reported rate is the
 difference — every fixed dispatch/tunnel cost cancels, leaving the
 steady-state device throughput. Residuals of every instance are verified
-against 1e-6.
+against 1e-6. For the equality family the chain times the REDUCED batched
+solve — the device-resident part of production ``solve_batch`` (the one
+host QR of the shared G and the full-space recovery amortize over batch
+and chain); its residuals certify the reduced problem.
 
 Writes ``benchmarks/batched_tpu_<backend>.json`` and prints one JSON line
 per family:
@@ -24,7 +33,7 @@ per family:
    "ref_solves_per_s": N, "vs_ref_throughput": N, "tol_ok": true}
 
 Reference sequential rates are 1 / (best-backend wall time) from
-BASELINE.md (profile_output.txt:36,54,14).
+BASELINE.md (profile_output.txt:36,54,14,48).
 """
 
 from __future__ import annotations
@@ -72,44 +81,99 @@ def main() -> None:
     import jax.numpy as jnp
 
     import conicip_tpu  # noqa: F401  (x64 on)
-    from conicip_tpu.cones.spec import ConeSpec, tri_dim
+    from conicip_tpu.cones.spec import ConeSpec
     from conicip_tpu.models import generators as gen
-    from conicip_tpu.solver import _default_kktsolver
-    from conicip_tpu.solver.ipm import IPMOptions, ipm_solve
+    from conicip_tpu.ops.cholesky import _tpu_like
+    from conicip_tpu.parallel.batch import make_batched_ladder_solver
+    from conicip_tpu.solver import _default_kktsolver as _dk
+    from conicip_tpu.solver.ipm import IPMOptions
 
+    _HI = jax.lax.Precision.HIGHEST
     B = args.batch
     K = args.K
     rng = np.random.default_rng(0)
 
-    def fresh_c_small_sdp(count):
-        # distinct symmetric matrices to PSD-project per instance per step
-        k = 10
-        C = rng.standard_normal((count, B, k, k))
-        C = (C + np.swapaxes(C, -1, -2)) / np.sqrt(2 * k)
-        return gen._vecm_np(C)
-
+    # Each family returns a dict:
+    #   Q, A, b : problem data — 3-D/2-D per-instance arrays, or lower-rank
+    #             SHARED arrays broadcast to the batch on device in-chain
+    #   cones   : cone_dims
+    #   fresh_c : count -> (count, B, n) distinct linear terms per chain step
+    #   Kc      : production centralityCorrectors for this configuration
+    #   note    : measurement caveat recorded in the JSON row
     def family_small_sdp():
         Q, c, A, b, cones = gen.batched_small_sdp(B)
-        return Q, A, b, cones, fresh_c_small_sdp
+
+        def fresh_c(count):
+            # distinct symmetric matrices to PSD-project per instance per step
+            k = 10
+            C = rng.standard_normal((count, B, k, k))
+            C = (C + np.swapaxes(C, -1, -2)) / np.sqrt(2 * k)
+            return gen._vecm_np(C)
+
+        return dict(Q=Q, A=A, b=b, cones=cones, fresh_c=fresh_c, Kc=0,
+                    note="")
 
     def family_mixed_rqs():
         Q, c, A, b, cones = gen.batched_mixed_rqs(B)
         n = c.shape[-1]
-        return Q, A, b, cones, lambda count: rng.standard_normal(
-            (count, B, n))
+        return dict(Q=Q, A=A, b=b, cones=cones,
+                    fresh_c=lambda count: rng.standard_normal((count, B, n)),
+                    Kc=0, note="")
 
     def family_box_qp():
-        # reference shape: n=500 dense-Q box QP (profile.jl:20-34); the
-        # batched variant carries DISTINCT dense SPD Q per instance
-        Q, c, A, b, cones = gen.batched_box_qp(B, n=100)
-        n = c.shape[-1]
-        return Q, A, b, cones, lambda count: rng.standard_normal(
-            (count, B, n))
+        # reference shape: n=500 dense-Q box QP (profile.jl:20-34) with
+        # DISTINCT dense SPD Q per instance, generated on device (module
+        # docstring); A = [I; -I] and b are shared and broadcast in-chain.
+        n = 500
+
+        @jax.jit
+        def make_Q(key):
+            Ms = jax.random.normal(key, (B, n, n), jnp.float32)
+            Gm = jnp.einsum("bij,bik->bjk", Ms, Ms, precision=_HI) / n
+            Gm = 0.5 * (Gm + jnp.swapaxes(Gm, -1, -2))
+            return Gm.astype(jnp.float64) + jnp.eye(n, dtype=jnp.float64)
+
+        Q = make_Q(jax.random.PRNGKey(0))
+        A2 = jnp.asarray(np.vstack([np.eye(n), -np.eye(n)]))
+        b2 = jnp.asarray(-np.ones(2 * n))
+        return dict(Q=Q, A=A2, b=b2, cones=[("R", 2 * n)],
+                    fresh_c=lambda count: rng.standard_normal((count, B, n)),
+                    Kc=1, note="Q generated on device (tunnel transfer)")
+
+    def family_mixed_rq_eq():
+        # reference shape (n=200, n_q=51, p=10; profile.jl:99-113) with a
+        # shared equality system. The chain times the REDUCED batched
+        # solve (module docstring): one host QR of G + per-step reduced
+        # transforms here, the in-jit ladder on the reduced R+Q problem
+        # on device — production solve_batch's eliminate_equalities path.
+        from conicip_tpu.reduce import equality_basis
+
+        n, n_q, p = 200, 51, 10
+        Q, c, A, b, cones, G, d = gen.batched_mixed_rq_eq(
+            B, n=n, n_q=n_q, p=p)
+        basis = equality_basis(np.asarray(G, np.float64))
+        Z = np.asarray(basis.Z)  # (n, n_red), orthonormal
+        y0 = basis.particular(np.asarray(d, np.float64))  # (B, n)
+        A0 = np.asarray(A[0])  # rows shared across instances
+        A_red = A0 @ Z  # shared (m, n_red)
+        b_red = np.asarray(b) - np.einsum("ij,bj->bi", A0, y0)
+        n_red = Z.shape[1]
+
+        def fresh_c(count):
+            cs = rng.standard_normal((count, B, n))
+            # c_red = Zᵀ(c − Q y0), Q = I for this family
+            return np.einsum("cbj,jk->cbk", cs - y0[None], Z)
+
+        return dict(Q=np.eye(n_red), A=A_red, b=b_red, cones=cones,
+                    fresh_c=fresh_c, Kc=2,
+                    note="reduced batched solve (shared-G elimination); "
+                         "host QR + full-space recovery amortized")
 
     FAMILIES = {
         "batched_small_sdp": family_small_sdp,
         "batched_mixed_rqs": family_mixed_rqs,
         "batched_box_qp": family_box_qp,
+        "batched_mixed_rq_eq": family_mixed_rq_eq,
     }
     picked = args.families or list(FAMILIES)
 
@@ -127,54 +191,69 @@ def main() -> None:
 
     results = []
     for name in picked:
-        Q, A, b, cones, fresh_c = FAMILIES[name]()
-        spec = ConeSpec(cones)
-        n = Q.shape[-1]
-        kkt = _default_kktsolver(jnp.float32)
-        # mirror solve_batch's production auto: 1 Gondzio corrector on
-        # the dense-Schur path for R/Q specs, off for SDP specs
-        Kc = 0 if spec.sdp_groups else 1
+        fam = FAMILIES[name]()
+        spec = ConeSpec(fam["cones"])
+        n = np.shape(fam["Q"])[-1]
+        kkt = _dk(jnp.float32)
+        Kc = fam["Kc"]
         opts = IPMOptions(optTol=1e-6, mixedResiduals=True,
                           centralityCorrectors=Kc,
                           # batched SDP fast tier: f32 decompositions,
-                          # fused f64 rescue tier as the escape hatch
+                          # fused rescue tiers as the escape hatch
                           # (same policy as solve_batch)
                           fastEig=True if spec.sdp_groups else None)
-        Gz = jnp.zeros((0, n))
-        dz = jnp.zeros((0,))
 
         # Production configuration, chained: each chain step runs the
         # EXACT fused-ladder batched solver solve_batch dispatches — fast
         # f32 tier plus cond-gated rescue tiers (skipped when every
         # instance certifies in f32), so the measured rate includes
         # escalation cost exactly when production pays it.
-        from conicip_tpu.parallel.batch import make_batched_ladder_solver
-        from conicip_tpu.solver import _default_kktsolver as _dk
-
-        tiers = tuple(
-            [(_dk(jnp.float32, jnp.float64),
-              IPMOptions(optTol=1e-6, mixedResiduals=True,
-                         centralityCorrectors=Kc, fastEig=False))]
-            if not spec.sdp_groups else []
-        ) + ((_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
-                                    centralityCorrectors=Kc,
-                                    fastEig=False)),)
-        ladder_solver = make_batched_ladder_solver(
-            spec, kkt, tiers, opts)
+        if not spec.sdp_groups:
+            tiers = (
+                (_dk(jnp.float32, jnp.float64),
+                 IPMOptions(optTol=1e-6, mixedResiduals=True,
+                            centralityCorrectors=Kc, fastEig=False)),
+                (_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
+                                       centralityCorrectors=Kc,
+                                       fastEig=False)),
+            )
+        else:
+            # solve_batch's SDP rescue ladder: f64 KKT with f32
+            # decompositions first (cheap on TPU), full-precision
+            # decompositions as the final backstop
+            tiers = (
+                ((_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
+                                        centralityCorrectors=Kc,
+                                        fastEig=True)),)
+                if _tpu_like() else ()
+            ) + (
+                (_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
+                                       centralityCorrectors=Kc,
+                                       fastEig=False)),
+            )
+        ladder_solver = make_batched_ladder_solver(spec, kkt, tiers, opts)
         Gb = jnp.zeros((B, 0, n))
         db = jnp.zeros((B, 0))
 
-        cs = jax.device_put(jnp.asarray(fresh_c(2 * K)))
-        Qd = jax.device_put(jnp.asarray(Q))
-        Ad = jax.device_put(jnp.asarray(A))
-        bd = jax.device_put(jnp.asarray(b))
+        cs = jax.device_put(jnp.asarray(fam["fresh_c"](2 * K)))
+        Qd = jax.device_put(jnp.asarray(fam["Q"]))
+        Ad = jax.device_put(jnp.asarray(fam["A"]))
+        bd = jax.device_put(jnp.asarray(fam["b"]))
+
+        def bcast(X, nd):
+            return X if X.ndim == nd else jnp.broadcast_to(
+                X, (B,) + X.shape)
 
         def make_chain(count):
             @jax.jit
             def run(cs, Qd, Ad, bd):
+                Qb = bcast(Qd, 3)
+                Ab = bcast(Ad, 3)
+                bb = bcast(bd, 2)
+
                 def body(i, acc):
                     iters, resid, nbad = acc
-                    st = ladder_solver(Qd, cs[i], Ad, bd, Gb, db)
+                    st = ladder_solver(Qb, cs[i], Ab, bb, Gb, db)
                     r = jnp.maximum(st.prFeas,
                                     jnp.maximum(st.duFeas, st.muFeas))
                     return (
@@ -219,6 +298,7 @@ def main() -> None:
             "ref_source": ref_src,
             "vs_ref_throughput": round(solves / elapsed * ref_s, 2),
             "method": method,
+            "note": fam["note"],
             "backend": jax.default_backend(),
         }
         results.append(row)

@@ -259,11 +259,20 @@ def main() -> None:
     #                 achievable for medium (n·r) messages
 
     _SHAPED = re.compile(r"(f32|f64|bf16)\[([0-9,]*)\]")
+    # Instruction DEFINITIONS only: `%name = <shape> opcode(...)`. A bare
+    # COLLECTIVES.search would also hit consumer lines referencing
+    # %all-reduce.N operands and async start/done pairs, double-counting
+    # bytes and skewing the modeled scaling efficiency.
+    _COLLECTIVE_DEF = re.compile(
+        r"=\s*(?:\([^)]*\)|\S+)\s+"
+        r"(all-reduce|all-gather|reduce-scatter|collective-permute"
+        r"|all-to-all)(-start)?\("
+    )
 
     def _collective_bytes(hlo: str) -> int:
         total = 0
         for line in hlo.splitlines():
-            if not COLLECTIVES.search(line):
+            if not _COLLECTIVE_DEF.search(line):
                 continue
             m = _SHAPED.search(line)  # result shape of the collective
             if not m:
