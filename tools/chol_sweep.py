@@ -36,6 +36,12 @@ def main() -> None:
                     default=[256, 512, 768, 1024, 1536, 2048])
     ap.add_argument("--r1", type=int, default=3)
     ap.add_argument("--r2", type=int, default=9)
+    ap.add_argument("--target-s", type=float, default=2.0,
+                    help="adaptive pass: rep counts are raised until the "
+                    "long chain carries ~this many seconds of op work, so "
+                    "the slope rises above the tunnel's +-tens-of-ms "
+                    "run-to-run jitter (the r3 devbench numbers for "
+                    "sub-ms ops were below it and useless)")
     ap.add_argument("--ops", nargs="*", default=None,
                     help="subset of op names (default: all)")
     args = ap.parse_args()
@@ -49,7 +55,11 @@ def main() -> None:
 
     def slope_feedback(op_on_v, v0, r1=args.r1, r2=args.r2):
         """Output-feedback chain: rep k+1's input depends on rep k's
-        output — no folding/hoisting possible."""
+        output — no folding/hoisting possible. Two passes: a cheap pilot
+        estimates the per-rep cost, then rep counts are raised until the
+        long chain carries ~target-s seconds of op work (sub-ms ops at a
+        handful of reps sit below the tunnel jitter and produce garbage,
+        including negative slopes)."""
 
         def chain(reps):
             @jax.jit
@@ -63,7 +73,7 @@ def main() -> None:
 
             return run
 
-        def timed(f):
+        def timed(f, warm=True):
             np.asarray(f(v0))
             best = np.inf
             for _ in range(2):
@@ -72,7 +82,13 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             return best
 
-        return (timed(chain(r2)) - timed(chain(r1))) / (r2 - r1)
+        pilot = (timed(chain(r2)) - timed(chain(r1))) / (r2 - r1)
+        est = max(pilot, 1e-5)  # negative/zero pilot -> assume cheap
+        if est * (r2 - r1) >= 0.5 * args.target_s:
+            return pilot
+        r2b = min(int(args.target_s / est), 5000)
+        r1b = max(r2b // 4, 1)
+        return (timed(chain(r2b)) - timed(chain(r1b))) / (r2b - r1b)
 
     rows = []
     for n in args.sizes:

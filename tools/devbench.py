@@ -52,7 +52,13 @@ def main() -> None:
         @jax.jit
         def chain(x, *rs):
             def body(i, acc):
-                y = op(x * (1.0 + 0e0 * acc), *rs)  # dep on acc defeats CSE
+                # 1e-30*acc (NOT 0*acc): a zero coefficient constant-folds,
+                # the op input becomes loop-invariant, and XLA's LICM can
+                # hoist the whole op out of the loop — the round-3 numbers
+                # for f32 chol/tri-solve were exactly that fiction
+                # (0.21 ms "measured" vs ~real cost; tools/chol_sweep.py,
+                # tools/roofline_verify.py output-feedback re-measurement).
+                y = op(x * (1.0 + 1e-30 * acc), *rs)
                 return jnp.sum(
                     jax.tree_util.tree_leaves(y)[0][..., :1].astype(jnp.float32)
                 ) * 1e-30 + acc

@@ -68,7 +68,10 @@ def main() -> None:
             @jax.jit
             def run(x, *rs):
                 def body(i, acc):
-                    y = op(x * (1.0 + 0e0 * acc), *rs)
+                    # 1e-30*acc, not 0*acc: a zero coefficient folds, the
+                    # op becomes loop-invariant, and LICM hoists it — see
+                    # tools/devbench.py note / tools/roofline_verify.py
+                    y = op(x * (1.0 + 1e-30 * acc), *rs)
                     return (
                         jnp.sum(
                             jax.tree_util.tree_leaves(y)[0][..., :1]
