@@ -167,6 +167,27 @@ def test_kktsolver_schur_tp_f32_distributed_factor():
     assert max(sol.prFeas, sol.duFeas, sol.muFeas) < 1e-7
 
 
+def test_kktsolver_schur_tp_cone_sharded_scaling():
+    # shard_scaling=True (default): each device applies the NT scaling to
+    # its OWN cone blocks only (cone axes sharded over the mesh) — must
+    # agree with the replicated-Atil variant and the single-device solver
+    # on a full R+Q+S mix with equalities and non-divisible group counts
+    # (3 SOCs, 1 SDP over 8 devices — heavy padding).
+    mesh = make_mesh((8,), ("tp",))
+    cones = [("R", 9), ("Q", 4), ("Q", 4), ("Q", 4), ("S", 6)]
+    Q, c, A, b, G, d = _tp_problem(21, cones, 2)
+    sol_sh = ct.conic_ip(Q, c, A, b, cones, G=G, d=d, optTol=1e-7,
+                         kktsolver=kktsolver_schur_tp(mesh, "tp"))
+    sol_rep = ct.conic_ip(
+        Q, c, A, b, cones, G=G, d=d, optTol=1e-7,
+        kktsolver=kktsolver_schur_tp(mesh, "tp", shard_scaling=False))
+    ref = ct.conic_ip(Q, c, A, b, cones, G=G, d=d, optTol=1e-7,
+                      centralityCorrectors=0)
+    assert sol_sh.status == "Optimal"
+    np.testing.assert_allclose(sol_sh.y, ref.y, atol=1e-6)
+    np.testing.assert_allclose(sol_sh.y, sol_rep.y, atol=1e-8)
+
+
 def test_kktsolver_schur_tp_replicated_fallback():
     # distributed_factor=False keeps the sharded assembly but factors
     # replicated — same answers

@@ -1,20 +1,22 @@
 #!/usr/bin/env python
 """Feedback-chained sweep of f32 Cholesky / triangular-inverse cost vs n.
 
-Round-4 finding (tools/roofline_verify.py): with an output-FEEDBACK chain
-(each rep's input depends on the previous rep's output, so nothing folds),
-XLA's f32 cholesky costs ~70 ms at n=1024 on v5e — while devbench's
-scalar-perturbation chain (`x * (1 + 0*acc)`) was constant-folded and
-reported 0.21 ms of fiction. This sweep maps the real cost curve for:
+Round-4 measurement-discipline finding, part 2: output-feedback chaining
+alone is NOT enough. A probe that slices the factor (``cholesky(Ms)[:, 0]``)
+lets XLA push the slice through the blocked factorization and dead-code
+most of the panels — chol_sweep's original rows (0.218 ms at n=1024) and
+roofline_verify's chol row measured DIFFERENT programs (roofline's
+composite, which consumes the whole factor, reproducibly costs ~80 ms at
+n=1024 across tunnel windows). This sweep therefore times every op in two
+consumption modes:
 
-  - XLA `jnp.linalg.cholesky` (f32)
-  - the Pallas VMEM kernel (ops/pallas_cholesky.py), previously judged
-    "10x slower" against the fictitious XLA number
-  - blocked f32 Cholesky built from GEMMs + small XLA base cases
-    (ops/blocked64.blocked_cholesky applied to f32)
-  - XLA `solve_triangular(L, I)` vs blocked_tri_inv (f32)
+  - ``slice``: y = op(..)[:, 0]  (the old probe — kept to expose the DCE)
+  - ``full`` : y = op(..) @ w    (every entry of the result feeds y)
 
-Usage: python tools/chol_sweep.py [--sizes 256 512 768 1024] [--reps 8]
+The ``full`` rows are the real cost curve; production dispatch decisions
+(ops/cholesky.py) key off them.
+
+Usage: python tools/chol_sweep.py [--sizes 256 512 ...] [--ops chol_xla_full]
 """
 
 from __future__ import annotations
@@ -53,13 +55,16 @@ def main() -> None:
     import conicip_tpu  # noqa: F401  (x64 on)
     from conicip_tpu.ops.blocked64 import blocked_cholesky, blocked_tri_inv
 
+    _HI = jax.lax.Precision.HIGHEST
+
     def slope_feedback(op_on_v, v0, r1=args.r1, r2=args.r2):
         """Output-feedback chain: rep k+1's input depends on rep k's
-        output — no folding/hoisting possible. Two passes: a cheap pilot
-        estimates the per-rep cost, then rep counts are raised until the
-        long chain carries ~target-s seconds of op work (sub-ms ops at a
-        handful of reps sit below the tunnel jitter and produce garbage,
-        including negative slopes)."""
+        output — no folding/hoisting possible (given the op consumes all
+        its inputs and y consumes all the op's output). Two passes: a
+        cheap pilot estimates the per-rep cost, then rep counts are
+        raised until the long chain carries ~target-s seconds of op work
+        (sub-ms ops at a handful of reps sit below the tunnel jitter and
+        produce garbage, including negative slopes)."""
 
         def chain(reps):
             @jax.jit
@@ -73,7 +78,7 @@ def main() -> None:
 
             return run
 
-        def timed(f, warm=True):
+        def timed(f):
             np.asarray(f(v0))
             best = np.inf
             for _ in range(2):
@@ -96,44 +101,46 @@ def main() -> None:
         B = rng.standard_normal((n, n)).astype(np.float32)
         M0 = jnp.asarray(B @ B.T / n + n * np.eye(n, dtype=np.float32))
         I = jnp.eye(n, dtype=jnp.float32)
+        w = jnp.asarray(rng.standard_normal(n).astype(np.float32))
         v0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))
         L0 = jax.block_until_ready(jnp.linalg.cholesky(M0))
 
-        def chol_xla(v):
-            Ms = M0 + jnp.diag(jnp.abs(v) * 1e-30)
-            return jnp.linalg.cholesky(Ms)[:, 0]
+        def perturbed(v):
+            # vector-dependent diagonal: cannot fold, cannot hoist
+            return M0 + jnp.diag(jnp.abs(v) * 1e-30)
 
-        def chol_blocked(v):
-            Ms = M0 + jnp.diag(jnp.abs(v) * 1e-30)
-            return blocked_cholesky(Ms, r=256)[:, 0]
-
-        def tri_xla(v):
-            L = L0 + jnp.diag(jnp.abs(v) * 1e-30)
-            return solve_triangular(L, I, lower=True)[:, 0]
-
-        def tri_blocked(v):
-            L = L0 + jnp.diag(jnp.abs(v) * 1e-30)
-            return blocked_tri_inv(L, r=256)[:, 0]
+        def perturbedL(v):
+            return L0 + jnp.diag(jnp.abs(v) * 1e-30)
 
         ops = {
-            "chol_xla_f32": chol_xla,
-            "chol_blocked_f32": chol_blocked,
-            "tri_inv_xla_f32": tri_xla,
-            "tri_inv_blocked_f32": tri_blocked,
+            # -- full consumption: the REAL cost rows --
+            "chol_xla_full": lambda v: jnp.matmul(
+                jnp.linalg.cholesky(perturbed(v)), w, precision=_HI),
+            "chol_blocked_full": lambda v: jnp.matmul(
+                blocked_cholesky(perturbed(v), r=256), w, precision=_HI),
+            "tri_inv_xla_full": lambda v: jnp.matmul(
+                solve_triangular(perturbedL(v), I, lower=True), w,
+                precision=_HI),
+            "tri_inv_blocked_full": lambda v: jnp.matmul(
+                blocked_tri_inv(perturbedL(v), r=256), w, precision=_HI),
+            # -- slice consumption: kept to expose/monitor the slice-DCE --
+            "chol_xla_slice": lambda v: jnp.linalg.cholesky(
+                perturbed(v))[:, 0],
+            "tri_inv_xla_slice": lambda v: solve_triangular(
+                perturbedL(v), I, lower=True)[:, 0],
         }
 
-        # Pallas kernel (TPU only, MXU-aligned sizes within VMEM bound)
+        # Pallas kernel (TPU only, MXU-aligned sizes within VMEM bound);
+        # opaque custom call — the slice cannot reach inside, but time the
+        # full-consumption form anyway for apples-to-apples.
         try:
             from conicip_tpu.ops.pallas_cholesky import (
                 _MAX_VMEM_N, cholesky_f32, pallas_cholesky_available)
 
             if (n % 128 == 0 and n <= _MAX_VMEM_N
                     and pallas_cholesky_available(n, jnp.float32)):
-                def chol_pallas(v):
-                    Ms = M0 + jnp.diag(jnp.abs(v) * 1e-30)
-                    return cholesky_f32(Ms)[:, 0]
-
-                ops["chol_pallas_f32"] = chol_pallas
+                ops["chol_pallas_full"] = lambda v: jnp.matmul(
+                    cholesky_f32(perturbed(v)), w, precision=_HI)
         except Exception as e:  # noqa: BLE001
             print(f"# pallas unavailable at n={n}: {e}", file=sys.stderr)
 

@@ -330,6 +330,56 @@ def main() -> None:
     for n_model in (1024, 2048):
         results.extend(tp_model(n_model, jnp.float32))
 
+    # ── cone-sharded scaling kernel census (shard_scaling=True path) ──
+    # The sharded-Atil kernel folds the NT-scaling application into the
+    # per-device Gram; its only ADDITIONAL collective over the replicated
+    # kernel is the one scalar psum for γ — verified here by compiling it
+    # on a mixed R+Q spec and diffing the collective byte census.
+    from conicip_tpu.parallel.distributed import (_make_factor_kernel_sharded,
+                                                  _pad_scaling_shards,
+                                                  _shard_cone_rows)
+    from conicip_tpu.cones.scaling import nt_identity
+    from conicip_tpu.cones.spec import ConeSpec
+
+    def sharded_model(n_pad: int, dtype):
+        rows = []
+        spec = ConeSpec([("R", n_pad), ("Q", 8)] + [("Q", 8)] * 15)
+        m = spec.m
+        for ntp in (2, 4, 8):
+            if ntp > ndev_avail:
+                break
+            meshk = make_mesh((ntp,), ("tp",), devices=jax.devices()[:ntp])
+            A = jnp.zeros((m, n_pad), dtype)
+            arows, arow_specs = _shard_cone_rows(
+                spec, A, n_pad, n_pad, ntp, dtype, "tp")
+            F = nt_identity(spec, dtype)
+            scal, scal_specs = _pad_scaling_shards(spec, F, dtype, ntp, "tp")
+            fk = _make_factor_kernel_sharded(
+                meshk, "tp", n_pad, 0, dtype, scal_specs, arow_specs)
+
+            def run(scal_, arows_, Qb, ridge):
+                return fk(scal_, arows_, Qb,
+                          jnp.zeros((0, n_pad), dtype),
+                          jnp.zeros((), dtype), jnp.ones((), dtype), ridge)
+
+            compiled = jax.jit(run).lower(
+                scal, arows, jax.ShapeDtypeStruct((n_pad, n_pad), dtype),
+                jax.ShapeDtypeStruct((), dtype)).compile()
+            flops_dev = float(compiled.cost_analysis().get("flops", 0.0))
+            bytes_dev = _collective_bytes(compiled.as_text())
+            rows.append(dict(
+                sharded_scaling_ntp=ntp, n=n_pad, m=m,
+                flops_per_device=flops_dev,
+                collective_bytes_per_device=bytes_dev,
+            ))
+            print(f"ntp={ntp} n={n_pad} m={m} (R+16xQ8 mix, cone-sharded "
+                  f"scaling): {flops_dev:.3e} FLOP/dev, "
+                  f"{bytes_dev/1e6:.2f} MB collectives/dev")
+        return rows
+
+    print("── cone-sharded scaling kernel (shard_scaling=True) census ──")
+    results.extend(sharded_model(1024, jnp.float32))
+
     print("── wall clock on the OVERSUBSCRIBED virtual mesh "
           "(not a scaling claim; this host has nproc=1) ──")
     base_rate = None
