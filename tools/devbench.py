@@ -58,10 +58,15 @@ def main() -> None:
                 # for f32 chol/tri-solve were exactly that fiction
                 # (0.21 ms "measured" vs ~real cost; tools/chol_sweep.py,
                 # tools/roofline_verify.py output-feedback re-measurement).
+                # The feedback must consume EVERY output element: summing
+                # only a slice (the old `leaf[..., :1]`) lets XLA push the
+                # slice through blocked factorizations and dead-code the
+                # remaining panels (measurement-discipline finding #2).
                 y = op(x * (1.0 + 1e-30 * acc), *rs)
-                return jnp.sum(
-                    jax.tree_util.tree_leaves(y)[0][..., :1].astype(jnp.float32)
-                ) * 1e-30 + acc
+                s = jnp.float32(0)
+                for leaf in jax.tree_util.tree_leaves(y):
+                    s = s + jnp.sum(leaf.astype(jnp.float32))
+                return s * 1e-30 + acc
 
             return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 

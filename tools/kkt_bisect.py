@@ -81,10 +81,16 @@ def main() -> None:
         return (timed(chain(r2b)) - timed(chain(r1b))) / (r2b - r1b)
 
     # stages of the production per-iteration op (kkt/schur.py _factors)
+    # Every prefix is consumed via `@ w` (a dense matvec touching EVERY
+    # element) — a `[:, 0]` slice would let XLA push the slice through
+    # the blocked factorization and dead-code the remaining panels,
+    # mismeasuring exactly the stage this tool exists to isolate.
+    w = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+
     def upto_gram(v):
         Atil = A * (dinv + 1e-30 * v[0])[:, None]
         M = jnp.matmul(Atil.T, Atil, precision=_HI)
-        return M[:, 0]
+        return jnp.matmul(M, w, precision=_HI)
 
     def upto_equil(v):
         Atil = A * (dinv + 1e-30 * v[0])[:, None]
@@ -92,7 +98,7 @@ def main() -> None:
         dscale = jax.lax.rsqrt(
             jnp.maximum(jnp.diagonal(M), jnp.finfo(jnp.float32).tiny))
         Ms = M * dscale[:, None] * dscale[None, :] + ridge * I
-        return Ms[:, 0]
+        return jnp.matmul(Ms, w, precision=_HI)
 
     def upto_chol(v):
         Atil = A * (dinv + 1e-30 * v[0])[:, None]
@@ -101,7 +107,7 @@ def main() -> None:
             jnp.maximum(jnp.diagonal(M), jnp.finfo(jnp.float32).tiny))
         Ms = M * dscale[:, None] * dscale[None, :] + ridge * I
         L = jnp.linalg.cholesky(Ms)
-        return L[:, 0]
+        return jnp.matmul(L, w, precision=_HI)
 
     def upto_inv(v):
         Atil = A * (dinv + 1e-30 * v[0])[:, None]
@@ -111,7 +117,7 @@ def main() -> None:
         Ms = M * dscale[:, None] * dscale[None, :] + ridge * I
         L = jnp.linalg.cholesky(Ms)
         Linv = solve_triangular(L, I, lower=True)
-        return Linv[:, 0]
+        return jnp.matmul(Linv, w, precision=_HI)
 
     def full(v):
         Atil = A * (dinv + 1e-30 * v[0])[:, None]
@@ -134,7 +140,7 @@ def main() -> None:
         Ms = M0 + jnp.diag(jnp.abs(v) * 1e-30)
         L = jnp.linalg.cholesky(Ms)
         Linv = solve_triangular(L, I, lower=True)
-        return Linv[:, 0]
+        return jnp.matmul(Linv, w, precision=_HI)
 
     rows = {}
     for name, op in [

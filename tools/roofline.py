@@ -71,13 +71,14 @@ def main() -> None:
                     # 1e-30*acc, not 0*acc: a zero coefficient folds, the
                     # op becomes loop-invariant, and LICM hoists it — see
                     # tools/devbench.py note / tools/roofline_verify.py
+                    # sum EVERY output element: a sliced feedback lets
+                    # XLA dead-code unobserved panels of blocked
+                    # factorizations (see tools/devbench.py note)
                     y = op(x * (1.0 + 1e-30 * acc), *rs)
-                    return (
-                        jnp.sum(
-                            jax.tree_util.tree_leaves(y)[0][..., :1]
-                            .astype(jnp.float32)
-                        ) * 1e-30 + acc
-                    )
+                    s = jnp.float32(0)
+                    for leaf in jax.tree_util.tree_leaves(y):
+                        s = s + jnp.sum(leaf.astype(jnp.float32))
+                    return s * 1e-30 + acc
 
                 return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
