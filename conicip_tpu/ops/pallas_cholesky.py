@@ -38,7 +38,7 @@ _BLOCK = 128
 _MAX_VMEM_N = 1280
 
 
-def _kernel(a_ref, out_ref, *, n: int, n_blocks: int):
+def _kernel(a_ref, out_ref, *, n: int, n_blocks: int, unroll: int = 1):
     import jax.experimental.pallas as pl
 
     f32 = jnp.float32
@@ -59,6 +59,10 @@ def _kernel(a_ref, out_ref, *, n: int, n_blocks: int):
 
         # ── 1. unblocked Cholesky of D, masked-column sweep ──
         def col(j, A):
+            # static (Python-int) bounds enable unroll; under x64 the
+            # induction variable is then int64 — cast to int32 at entry
+            # (Mosaic's int64 lowering is the known hazard, module doc)
+            j = jax.lax.convert_element_type(j, jnp.int32)
             colmask = (ic == j).astype(f32)  # (B,B), col j ones
             diagj = ((ir == j) & (ic == j)).astype(f32)
             ajj = jnp.sum(A * diagj)
@@ -71,7 +75,7 @@ def _kernel(a_ref, out_ref, *, n: int, n_blocks: int):
             A = A - outer * (below * (ic > j).astype(f32))
             return A * (1.0 - colmask) + CJ
 
-        Lkk = jax.lax.fori_loop(jnp.int32(0), jnp.int32(B), col, D, unroll=False)
+        Lkk = jax.lax.fori_loop(0, B, col, D, unroll=unroll)
 
         # ── 2. full-height panel solve X = C · Lkk⁻ᵀ (forward subst).
         #       Column j update: x_j = (C_j − X_{<j} Lkk[j,<j]ᵀ)/Lkk[j,j],
@@ -80,6 +84,7 @@ def _kernel(a_ref, out_ref, *, n: int, n_blocks: int):
         C = out_ref[:, pl.ds(kB, B)]  # (n, B)
 
         def sub(j, X):
+            j = jax.lax.convert_element_type(j, jnp.int32)
             colmaskB = (ic == j).astype(f32)
             colmaskN = (icn == j).astype(f32)
             diagj = ((ir == j) & (ic == j)).astype(f32)
@@ -90,7 +95,7 @@ def _kernel(a_ref, out_ref, *, n: int, n_blocks: int):
                            precision=jax.lax.Precision.HIGHEST)  # col j = C_j − Σ
             return X * (1.0 - colmaskN) + Xupd * (1.0 / ljj) * colmaskN
 
-        X = jax.lax.fori_loop(jnp.int32(0), jnp.int32(B), sub, C, unroll=False)
+        X = jax.lax.fori_loop(0, B, sub, C, unroll=unroll)
         X = X * (rows_n2 >= kB).astype(f32)
         out_ref[:, pl.ds(kB, B)] = X
 
@@ -112,13 +117,16 @@ def _kernel(a_ref, out_ref, *, n: int, n_blocks: int):
     out_ref[...] = out_ref[...] * (r >= c).astype(jnp.float32)
 
 
-@jax.jit
-def _cholesky_pallas(M: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("unroll",))
+def _cholesky_pallas(M: jnp.ndarray, unroll: int = 8) -> jnp.ndarray:
+    # unroll=8 amortizes Mosaic's per-step loop overhead (~1 µs) across
+    # the 2n sequential column steps without blowing up compile time.
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n = M.shape[0]
-    kernel = functools.partial(_kernel, n=n, n_blocks=n // _BLOCK)
+    kernel = functools.partial(_kernel, n=n, n_blocks=n // _BLOCK,
+                               unroll=unroll)
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
