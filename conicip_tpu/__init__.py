@@ -25,6 +25,24 @@ import jax
 if os.environ.get("CONICIP_TPU_NO_X64", "0") != "1":
     jax.config.update("jax_enable_x64", True)
 
+# Honor an explicit JAX_PLATFORMS env var. The deployment harness's
+# sitecustomize calls jax.config.update("jax_platforms", "axon,cpu") at
+# interpreter start, which OVERRIDES the env var — so a user setting
+# JAX_PLATFORMS=cpu silently still runs on the tunneled TPU (and ad-hoc
+# "CPU" probes contend with on-chip benchmarks). Re-assert the env var
+# here, before any computation.
+_env_platforms = os.environ.get("JAX_PLATFORMS")
+if _env_platforms:
+    try:
+        _cfg = jax.config.jax_platforms or ""
+        # Only intervene when the PRIMARY platform differs (the harness
+        # env says "axon" while its config says "axon,cpu" — same intent,
+        # keep the fallback; an explicit "cpu" env must win).
+        if _cfg.split(",")[0] != _env_platforms.split(",")[0]:
+            jax.config.update("jax_platforms", _env_platforms)
+    except Exception:  # pragma: no cover - config introspection change
+        pass
+
 from .cones import (  # noqa: E402
     ConeSpec,
     cone_div,
