@@ -84,6 +84,37 @@ def cone_prod(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 # ──────────────────────────────────────────────────────────────
 
 
+def _eigh_d(A: jnp.ndarray, eig_dtype):
+    """Batched symmetric eigendecomposition honoring the ``eig_dtype``
+    contract used throughout the cone layer:
+
+    - ``None``       → stock ``eigh`` at the input dtype,
+    - a dtype        → computed there, factors cast back (the f32 fast
+                       phase; ~free on v5e vs ~0.45 ms/call emulated-f64),
+    - ``"refined"``  → GEMM-dominant f32-seed + exact-f64 refinement
+                       (ops/smalleig.eigh_refined). This is the
+                       full-precision tier's TPU form: XLA's emulated-f64
+                       eigh serializes under vmap (the batched-SDP rescue
+                       regime), while the refined sweeps are batched
+                       matmuls — and it resolves eigenvalues BETTER than
+                       the stock f64 eigh's measured ~5e-7 floor.
+    """
+    if eig_dtype == "refined":
+        from ..ops.smalleig import eigh_refined
+
+        return eigh_refined(A)
+    if eig_dtype is not None and eig_dtype != A.dtype:
+        w, U = jnp.linalg.eigh(A.astype(eig_dtype))
+        return w.astype(A.dtype), U.astype(A.dtype)
+    return jnp.linalg.eigh(A)
+
+
+def _arith_dtype(wd, eig_dtype):
+    """Dtype for the surrounding cone arithmetic: the working dtype unless
+    an explicit lower eig_dtype asks the whole block to run there."""
+    return wd if eig_dtype in (None, "refined") else eig_dtype
+
+
 def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray, eig_dtype=None) -> jnp.ndarray:
     """Solve ``Y O + O Y = X`` for symmetric Y, X, batched over leading dims.
 
@@ -97,12 +128,7 @@ def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray, eig_dtype=None) -> jnp.ndarray:
     lower precision, with the combination arithmetic kept in the working
     dtype. Used by the IPM's fast-phase iterations (solver/ipm.py).
     """
-    wd = Y.dtype
-    if eig_dtype is not None and eig_dtype != wd:
-        w, U = jnp.linalg.eigh(Y.astype(eig_dtype))
-        w, U = w.astype(wd), U.astype(wd)
-    else:
-        w, U = jnp.linalg.eigh(Y)
+    w, U = _eigh_d(Y, eig_dtype)
     Ut = jnp.swapaxes(U, -1, -2)
     Xt = _mm(_mm(Ut, X), U)
     denom = w[..., :, None] + w[..., None, :]
@@ -173,18 +199,18 @@ def maxstep(spec: ConeSpec, x: jnp.ndarray, d: jnp.ndarray,
         rho2 = dn[:, 1:] - mu[:, None] * xbar[:, 1:]
         a = jnp.linalg.norm(rho2, axis=-1) / sg - rho1
         steps.append(jnp.min(jnp.where(a < 0, inf, 1.0 / a)))
-    ed = wd if eig_dtype is None else eig_dtype
+    ed = _arith_dtype(wd, eig_dtype)
     for g in spec.sdp_groups:
         X = mat(take_group(g, x)).astype(ed)
         D = mat(take_group(g, d)).astype(ed)
-        wX, U = jnp.linalg.eigh(X)
+        wX, U = _eigh_d(X, eig_dtype)
         pd = jnp.all(wX > 0, axis=-1)  # (k,)
         w_safe = jnp.maximum(wX, jnp.finfo(ed).tiny)
         Xih = _mm(U * jax.lax.rsqrt(w_safe)[..., None, :],
                   jnp.swapaxes(U, -1, -2))
         M = _mm(_mm(Xih, D), Xih)
         M = 0.5 * (M + jnp.swapaxes(M, -1, -2))
-        lam = jnp.linalg.eigvalsh(M).astype(wd)
+        lam = _eigh_d(M, eig_dtype)[0].astype(wd)
         inf_e = jnp.asarray(jnp.inf, wd)
         all_neg = jnp.all(lam < 0, axis=-1)
         mx = jnp.max(jnp.where(lam < 0, -inf_e, lam), axis=-1)
@@ -231,10 +257,10 @@ def centrality_correction(spec: ConeSpec, w: jnp.ndarray, lo, hi,
         head = 0.5 * (dplus + dminus)
         tail = 0.5 * (dplus - dminus)[:, None] * what
         q = put_group(g, q, jnp.concatenate([head[:, None], tail], axis=1))
-    ed = w.dtype if eig_dtype is None else eig_dtype
+    ed = _arith_dtype(w.dtype, eig_dtype)
     for g in spec.sdp_groups:
         W = mat(take_group(g, w)).astype(ed)
-        lmb, U = jnp.linalg.eigh(W)
+        lmb, U = _eigh_d(W, eig_dtype)
         lmb, U = lmb.astype(w.dtype), U.astype(w.dtype)
         delta = _clip(lmb)  # (k, d)
         Qm = _mm(U * delta[..., None, :], jnp.swapaxes(U, -1, -2))

@@ -134,11 +134,15 @@ def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray,
         soc.append(SocScaling(d=dvec, u=w, alpha=jnp.ones_like(beta)))
     sdp = []
     wd = z.dtype
-    ed = wd if eig_dtype is None else eig_dtype
+    refined = eig_dtype == "refined"
+    ed = wd if (eig_dtype is None or refined) else eig_dtype
+    if refined:
+        from ..ops.smalleig import (cholesky_unrolled, eigh_refined,
+                                    solve_tri_unrolled)
     for g in spec.sdp_groups:
         Z = mat(take_group(g, z)).astype(ed)  # (k, d, d)
         Sm = mat(take_group(g, s)).astype(ed)
-        Lz = jnp.linalg.cholesky(Z)
+        Lz = (cholesky_unrolled(Z) if refined else jnp.linalg.cholesky(Z))
         LzT = jnp.swapaxes(Lz, -1, -2)
         if _use_svd():
             Ls = jnp.linalg.cholesky(Sm)
@@ -149,14 +153,16 @@ def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray,
             # (jnp.linalg.svd crashes the TPU compiler; eigh lowers fine.)
             T = _mm(_mm(LzT, Sm), Lz)
             T = 0.5 * (T + jnp.swapaxes(T, -1, -2))
-            lam2, U = jnp.linalg.eigh(T)
+            lam2, U = (eigh_refined(T) if refined
+                       else jnp.linalg.eigh(T))
             lam2 = jnp.maximum(lam2, jnp.finfo(ed).tiny)
             # eigh sorts ascending; svd convention is descending — order
             # does not matter for R (any orthogonal mix of equal columns
             # gives the same scaling), so keep eigh's order.
             lam = jnp.sqrt(lam2)
         # R = Lz⁻ᵀ U diag(sqrt(lam))  (nestod_sdc, ConicIP.jl:196-210)
-        X = jax.scipy.linalg.solve_triangular(LzT, U, lower=False)
+        X = (solve_tri_unrolled(LzT, U, lower=False) if refined
+             else jax.scipy.linalg.solve_triangular(LzT, U, lower=False))
         sl = jnp.sqrt(lam)
         R = X * sl[..., None, :]
         # closed-form inverse: R⁻¹ = diag(1/√λ) Uᵀ Lzᵀ

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 __all__ = ["eigh_refined", "eigvalsh_refined", "cholesky_small",
-           "solve_tri_refined"]
+           "solve_tri_refined", "cholesky_unrolled", "solve_tri_unrolled"]
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -121,6 +121,53 @@ def cholesky_small(T):
     if not _fast(T):
         return jnp.linalg.cholesky(T)
     return jnp.linalg.cholesky(T.astype(jnp.float32)).astype(T.dtype)
+
+
+def cholesky_unrolled(A, max_unroll: int = 48):
+    """Batched EXACT-f64 Cholesky of small (..., d, d) SPD matrices via a
+    statically unrolled right-looking column sweep.
+
+    Why this exists: XLA's monolithic emulated-f64 ``cholesky`` on v5e
+    serializes its double-double recurrence (~65 µs/column) and, vmapped
+    over a batch, dominates the batched SDP rescue tier. Here every step
+    is one batched elementwise op over the whole batch — d sequential
+    steps of ~free work — and the result is bit-level f64 (unlike
+    :func:`cholesky_small`'s f32-consistent factor, whose NT perturbation
+    was measured to tip marginal instances into the escalation ladder).
+    Falls through to the stock op off-TPU, for f32 inputs, or for d
+    beyond ``max_unroll`` (compile-size guard).
+    """
+    d = A.shape[-1]
+    if not _fast(A) or d > max_unroll:
+        return jnp.linalg.cholesky(A)
+    idx = jnp.arange(d)
+    L = jnp.zeros_like(A)
+    M = A
+    for j in range(d):
+        col = M[..., :, j]  # (..., d) static slice
+        piv = jnp.sqrt(col[..., j])
+        l = jnp.where(idx >= j, col / piv[..., None], 0.0)
+        L = L.at[..., :, j].set(l)
+        M = M - l[..., :, None] * l[..., None, :]
+    return L
+
+
+def solve_tri_unrolled(L, B, *, lower: bool, max_unroll: int = 48):
+    """Batched EXACT-f64 triangular solve ``L X = B`` by statically
+    unrolled substitution (same rationale as :func:`cholesky_unrolled`;
+    one batched row update per step, no serialized emulated-f64 solve).
+    ``B`` is (..., d, r)."""
+    d = L.shape[-1]
+    if not _fast(B) or d > max_unroll:
+        return solve_triangular(L, B, lower=lower)
+    order = range(d) if lower else range(d - 1, -1, -1)
+    X = jnp.zeros_like(B)
+    R = B
+    for j in order:
+        xj = R[..., j, :] / L[..., j, j, None]
+        X = X.at[..., j, :].set(xj)
+        R = R - L[..., :, j, None] * xj[..., None, :]
+    return X
 
 
 def solve_tri_refined(L, B, *, lower: bool):

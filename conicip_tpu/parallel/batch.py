@@ -341,15 +341,25 @@ def solve_batch(
             # small-SDP family). Tiers are batch-level cond-gated, so an
             # unneeded tier costs nothing. On CPU the f32-decomposition
             # tier is pointless (native f64 eigh is fast) — skip it.
+            # Every batched tier carries refinedEig: under vmap the
+            # solver's full-precision decompositions are unavoidable
+            # selects (the fastEig lax.cond's slow branch EXECUTES every
+            # iteration of every instance), and XLA's monolithic
+            # emulated-f64 eigh/chol/tri-solve serialize — the measured
+            # 0.01x batched-SDP disaster. The refined/unrolled kernels
+            # (ops/smalleig.py) are batched GEMMs/elementwise sweeps at
+            # the same-or-better accuracy.
             fused_tiers = (
                 ((_default_kktsolver(None),
                   IPMOptions(**{**options, "mixedResiduals": False,
-                                "fastEig": True})),)
+                                "fastEig": True,
+                                "refinedEig": options.get("refinedEig", True)})),)
                 if _tpu_like() else ()
             ) + (
                 (_default_kktsolver(None),
                  IPMOptions(**{**options, "mixedResiduals": False,
-                               "fastEig": False})),
+                               "fastEig": False,
+                               "refinedEig": options.get("refinedEig", True)})),
             )
         if spec.sdp_groups and "fastEig" not in options:
             # Batched fast tier: run the S-cone decompositions (NT
@@ -357,8 +367,12 @@ def solve_batch(
             # accuracy as f64 eigh on v5e (the ~5e-7 NT floor) at a
             # fraction of the latency; the fused full-f64 rescue tier
             # above is the escape hatch a single solve gets from its
-            # two-variant KKT generator.
-            opts = IPMOptions(**{**options, "fastEig": True})
+            # two-variant KKT generator. refinedEig keeps the vmap-select
+            # slow branch (see tier note above) off the serialized
+            # emulated-f64 ops.
+            opts = IPMOptions(**{**options, "fastEig": True,
+                                 "refinedEig": options.get("refinedEig",
+                                                           True)})
 
     if fused_tiers:
         solver = make_batched_ladder_solver(
@@ -435,8 +449,12 @@ def solve_batch(
             sj = jnp.einsum("bij,bj->bi", As, yj,
                             precision=jax.lax.Precision.HIGHEST) - bs
             # full-precision decompositions: the host ladder is the last
-            # safety net (the fused in-jit tiers already tried fastEig)
-            opts_next = IPMOptions(**{**options, "mixedResiduals": mixed_next})
+            # safety net (the fused in-jit tiers already tried fastEig);
+            # still vmapped, so S-cone decompositions stay refined
+            opts_next = IPMOptions(**{**options, "mixedResiduals": mixed_next,
+                                      "refinedEig": options.get(
+                                          "refinedEig",
+                                          bool(spec.sdp_groups))})
             solver_next = make_batched_warm_solver(spec, kkt_next, opts_next)
             sti = jax.block_until_ready(
                 solver_next(Qs, cs, As, bs, Gs, ds, Vec4(yj, wj, vj, sj))

@@ -83,6 +83,17 @@ class IPMOptions:
     # ladder as the escape hatch (a breakdown ends Abandoned/Error and
     # the f64 tier re-solves warm). False = always full precision.
     fastEig: Optional[bool] = None
+    # Full-precision S-cone decompositions via the GEMM-dominant refined
+    # kernels (ops/smalleig: f32-seed eigh + exact-f64 sweeps, unrolled
+    # exact-f64 chol / triangular solve) instead of XLA's monolithic
+    # emulated-f64 ops, WHEREVER the solve would otherwise run them in
+    # f64. On v5e the monolithic ops serialize — catastrophically so
+    # under vmap (the batched rescue tiers) — while the refined forms are
+    # batched matmuls at the same-or-better accuracy. None = stock f64
+    # (single-solve default; at batch size 1 the refined forms' fixed
+    # per-op latency is a wash). solve_batch enables it on its S-cone
+    # tiers, where the batch amortization is decisive.
+    refinedEig: Optional[bool] = None
     # Proactive last-mile: additionally switch the two-variant KKT
     # generator to its full-precision branch once the carried residual is
     # within this factor of tolerance (0 = reactive-only, the default:
@@ -382,6 +393,12 @@ def ipm_solve(
         _fast_eig = False
         _force_fast_eig = False
 
+    # Full-precision decomposition implementation (everywhere the loop
+    # would run a stock f64 eigh/chol/tri-solve): "refined" routes them
+    # through the GEMM-dominant batched kernels (see IPMOptions.refinedEig).
+    slow_ed = ("refined"
+               if (opts.refinedEig and bool(spec.sdp_groups)) else None)
+
     def body(carry):
         z, sol, optBest, k, rnorm_prev, rstep_prev, P, drift, lm_on = carry
         lm_was = lm_on
@@ -389,14 +406,14 @@ def ipm_solve(
         if _fast_eig:
             F = jax.lax.cond(
                 lm_on,
-                lambda: sc.nt_scaling(spec, z.v, z.s),
+                lambda: sc.nt_scaling(spec, z.v, z.s, eig_dtype=slow_ed),
                 lambda: sc.nt_scaling(spec, z.v, z.s,
                                       eig_dtype=jnp.float32),
             )
         elif _force_fast_eig:
             F = sc.nt_scaling(spec, z.v, z.s, eig_dtype=jnp.float32)
         else:
-            F = sc.nt_scaling(spec, z.v, z.s)
+            F = sc.nt_scaling(spec, z.v, z.s, eig_dtype=slow_ed)
         FinvT = sc.nt_inv_adjoint(spec, F)
         lam = sc.apply(spec, F, z.v)  # scaled point: = F⁻ᵀ z.s too
 
@@ -749,11 +766,12 @@ def ipm_solve(
                 return jax.lax.cond(
                     lm_on,
                     lambda z: _take_step_with(
-                        solve3x3gen(F, FinvT, mode="slow"), z
+                        solve3x3gen(F, FinvT, mode="slow"), z,
+                        eig_dtype=slow_ed,
                     ),
                     lambda z: _take_step_with(
                         solve3x3gen(F, FinvT, mode="fast"), z,
-                        eig_dtype=jnp.float32 if _fast_eig else None,
+                        eig_dtype=jnp.float32 if _fast_eig else slow_ed,
                     ),
                     z,
                 )
@@ -761,7 +779,7 @@ def ipm_solve(
             def take_step(z):
                 return _take_step_with(
                     solve3x3gen(F, FinvT), z,
-                    eig_dtype=jnp.float32 if _force_fast_eig else None,
+                    eig_dtype=jnp.float32 if _force_fast_eig else slow_ed,
                 )
 
         def no_step(z):

@@ -458,3 +458,40 @@ def test_batched_sdp_fasteig_rescue_tier_certifies():
                        np.maximum(np.asarray(st.duFeas),
                                   np.asarray(st.muFeas)))
     assert float(np.max(resid)) < 1e-6
+
+
+def test_solve_batch_sdp_refined_decompositions(monkeypatch):
+    # The batched S-cone tiers route every full-precision decomposition
+    # through the GEMM-dominant refined/unrolled kernels (ops/smalleig) —
+    # forced on here (CPU pretends to be the TPU eigh-form path) the
+    # batch must still certify to the same solutions as the stock path.
+    import conicip_tpu.cones.scaling as sc
+    import conicip_tpu.ops.smalleig as se
+    from conicip_tpu.models import batched_small_sdp
+
+    monkeypatch.setattr(sc, "_use_svd", lambda: False)
+    monkeypatch.setattr(se, "_on_tpu", lambda: True)
+    Q, c, A, b, cones = batched_small_sdp(batch=4, k=4)
+    ref = solve_batch(Q, c, A, b, cones, optTol=1e-7, refinedEig=False)
+    got = solve_batch(Q, c, A, b, cones, optTol=1e-7)  # refined default
+    assert ref.statuses == ["Optimal"] * 4
+    assert got.statuses == ["Optimal"] * 4
+    np.testing.assert_allclose(got.y, ref.y, atol=1e-6)
+
+
+def test_solve_batch_sdp_refined_f32_ladder(monkeypatch):
+    # Same forcing, but through the f32 fused escalation ladder (the
+    # production TPU configuration): fast f32 tier + refined rescue tiers.
+    import conicip_tpu.cones.scaling as sc
+    import conicip_tpu.ops.smalleig as se
+    import jax.numpy as jnp
+    from conicip_tpu.models import batched_small_sdp
+
+    monkeypatch.setattr(sc, "_use_svd", lambda: False)
+    monkeypatch.setattr(se, "_on_tpu", lambda: True)
+    Q, c, A, b, cones = batched_small_sdp(batch=4, k=4, seed=3)
+    bs = solve_batch(Q, c, A, b, cones, optTol=1e-6,
+                     factor_dtype=jnp.float32)
+    assert bs.statuses == ["Optimal"] * 4
+    res = np.maximum(bs.prFeas, np.maximum(bs.duFeas, bs.muFeas))
+    assert res.max() < 1e-6
