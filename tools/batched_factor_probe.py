@@ -33,6 +33,9 @@ def main() -> None:
     ap.add_argument("--d", type=int, default=10)
     ap.add_argument("--target-s", type=float, default=2.0)
     ap.add_argument("--ops", nargs="*", default=None)
+    ap.add_argument("--kkt-n", type=int, default=0,
+                    help="also time batched f32 chol/tri-inv/gemm at "
+                    "(batch, n, n) — the batched KKT-factor regime")
     args = ap.parse_args()
 
     import jax
@@ -112,6 +115,18 @@ def main() -> None:
         X = solve_triangular(LzT, U, lower=False)
         return X * jnp.sqrt(jnp.sqrt(jnp.maximum(lam2, 1e-300)))[..., None, :]
 
+    def nt_like_refined(v):
+        # the same block on the refinedEig route (what the batched tiers
+        # now run): unrolled chol + refined eigh + unrolled tri-solve
+        Z = perturbed(v)
+        S = M0 + 1e-30 * jnp.abs(v)[None, None, :, None] * jnp.eye(d)
+        Lz = se.cholesky_unrolled(Z)
+        LzT = jnp.swapaxes(Lz, -1, -2)
+        T = jnp.matmul(jnp.matmul(LzT, S, precision=_HI), Lz, precision=_HI)
+        lam2, U = se.eigh_refined(0.5 * (T + jnp.swapaxes(T, -1, -2)))
+        X = se.solve_tri_unrolled(LzT, U, lower=False)
+        return X * jnp.sqrt(jnp.sqrt(jnp.maximum(lam2, 1e-300)))[..., None, :]
+
     ops = {
         "eigh_f64": lambda v: jnp.linalg.eigh(perturbed(v)),
         "eigh_f32": lambda v: jnp.linalg.eigh(
@@ -120,13 +135,86 @@ def main() -> None:
         "chol_f64": lambda v: jnp.linalg.cholesky(perturbed(v)),
         "chol_f32": lambda v: jnp.linalg.cholesky(
             perturbed(v).astype(jnp.float32)),
+        "chol_unrolled": lambda v: se.cholesky_unrolled(perturbed(v)),
         "tri_solve_f64": lambda v: solve_triangular(
             perturbedL(v), eyeb, lower=True),
         "tri_solve_refined": lambda v: se.solve_tri_refined(
             perturbedL(v), eyeb, lower=True),
+        "tri_solve_unrolled": lambda v: se.solve_tri_unrolled(
+            perturbedL(v), eyeb, lower=True),
         "gemm_f64": lambda v: jnp.matmul(perturbed(v), M0, precision=_HI),
         "nt_like_f64": nt_like_f64,
+        "nt_like_refined": nt_like_refined,
     }
+
+    if args.kkt_n:
+        # second regime: the batched f32 KKT factorization at the
+        # batched_mixed_rq_eq reduced-solve shape — is XLA's BATCHED f32
+        # cholesky/tri-solve MXU-parallel over the batch, or serialized
+        # per instance (the 18.5 ms/iter suspect)?
+        nk = args.kkt_n
+        Mk = rng.standard_normal((B, nk, nk)).astype(np.float32)
+        Mk = Mk @ np.swapaxes(Mk, -1, -2) / nk + nk * np.eye(
+            nk, dtype=np.float32)
+        Mk0 = jnp.asarray(Mk)
+        Lk0 = jax.block_until_ready(jnp.linalg.cholesky(Mk0))
+        eyek = jnp.broadcast_to(jnp.eye(nk, dtype=jnp.float32), (B, nk, nk))
+        wk = jnp.asarray(rng.standard_normal(nk).astype(np.float32))
+
+        def consume_kkt(Y):
+            return jnp.matmul(Y, wk, precision=_HI).sum(axis=0)
+
+        def pert_kkt(v):
+            return Mk0 + 1e-30 * jnp.abs(v)[None, None, :] * jnp.eye(
+                nk, dtype=jnp.float32)
+
+        def pert_kktL(v):
+            return Lk0 + 1e-30 * jnp.abs(v)[None, None, :] * jnp.eye(
+                nk, dtype=jnp.float32)
+
+        kkt_ops = {
+            f"kkt{nk}_chol_f32": lambda v: jnp.linalg.cholesky(pert_kkt(v)),
+            f"kkt{nk}_tri_inv_f32": lambda v: solve_triangular(
+                pert_kktL(v), eyek, lower=True),
+            f"kkt{nk}_gemm_f32": lambda v: jnp.matmul(
+                pert_kkt(v), Mk0, precision=_HI),
+        }
+        v0k = jnp.asarray(rng.standard_normal(nk).astype(np.float32))
+        globals_consume = consume_kkt  # noqa: F841
+
+        def slope_kkt(op_on_v):
+            def chain(reps):
+                @jax.jit
+                def run(v):
+                    def body(i, v):
+                        y = consume_kkt(op_on_v(v))
+                        return (y / (jnp.linalg.norm(y) + 1.0)
+                                + v * 1e-6).astype(v.dtype)
+
+                    return jax.lax.fori_loop(0, reps, body, v)
+
+                return run
+
+            def timed(f):
+                np.asarray(f(v0k))
+                best = np.inf
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    np.asarray(f(v0k))
+                    best = min(best, time.perf_counter() - t0)
+                return best
+
+            pilot = (timed(chain(3)) - timed(chain(1))) / 2
+            est = max(pilot, 1e-5)
+            if est * 2 >= 0.5 * args.target_s:
+                return pilot
+            r2b = min(int(args.target_s / est), 2000)
+            r1b = max(r2b // 4, 1)
+            return (timed(chain(r2b)) - timed(chain(r1b))) / (r2b - r1b)
+
+        ops_kkt_items = kkt_ops.items()
+    else:
+        ops_kkt_items = ()
 
     row = {"batch": B, "d": d, "backend": jax.default_backend()}
     for name, op in ops.items():
@@ -134,6 +222,15 @@ def main() -> None:
             continue
         try:
             t = slope_feedback(op, v0)
+            row[name + "_ms"] = round(t * 1e3, 3)
+        except Exception as e:  # noqa: BLE001
+            row[name + "_ms"] = f"ERROR {type(e).__name__}: {e}"
+        print(json.dumps({k: row[k] for k in row}), flush=True)
+    for name, op in ops_kkt_items:
+        if args.ops and name not in args.ops:
+            continue
+        try:
+            t = slope_kkt(op)
             row[name + "_ms"] = round(t * 1e3, 3)
         except Exception as e:  # noqa: BLE001
             row[name + "_ms"] = f"ERROR {type(e).__name__}: {e}"
