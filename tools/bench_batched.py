@@ -199,9 +199,13 @@ def main() -> None:
         opts = IPMOptions(optTol=1e-6, mixedResiduals=True,
                           centralityCorrectors=Kc,
                           # batched SDP fast tier: f32 decompositions,
-                          # fused rescue tiers as the escape hatch
-                          # (same policy as solve_batch)
-                          fastEig=True if spec.sdp_groups else None)
+                          # fused rescue tiers as the escape hatch, and
+                          # every full-precision decomposition (incl. the
+                          # vmap-select slow branch) on the refined
+                          # GEMM-dominant kernels (same policy as
+                          # solve_batch)
+                          fastEig=True if spec.sdp_groups else None,
+                          refinedEig=bool(spec.sdp_groups))
 
         # Production configuration, chained: each chain step runs the
         # EXACT fused-ladder batched solver solve_batch dispatches — fast
@@ -224,12 +228,12 @@ def main() -> None:
             tiers = (
                 ((_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
                                         centralityCorrectors=Kc,
-                                        fastEig=True)),)
+                                        fastEig=True, refinedEig=True)),)
                 if _tpu_like() else ()
             ) + (
                 (_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
                                        centralityCorrectors=Kc,
-                                       fastEig=False)),
+                                       fastEig=False, refinedEig=True)),
             )
         ladder_solver = make_batched_ladder_solver(spec, kkt, tiers, opts)
         Gb = jnp.zeros((B, 0, n))
