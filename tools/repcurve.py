@@ -35,7 +35,9 @@ def main() -> None:
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--reps", type=int, nargs="*",
                     default=[3, 9, 27, 81, 243, 729, 2187])
-    ap.add_argument("--op", choices=["chol", "tri", "gemm"], default="chol")
+    ap.add_argument("--op", choices=["chol", "tri", "gemm", "cross",
+                                     "crosshost", "crossplain"],
+                    default="chol")
     ap.add_argument("--hlo", action="store_true",
                     help="also dump optimized-HLO structure for a short "
                     "and a long chain")
@@ -71,7 +73,39 @@ def main() -> None:
         return jnp.matmul(jnp.matmul(Ms, M0, precision=_HI), w,
                           precision=_HI)
 
-    op = {"chol": op_chol, "tri": op_tri, "gemm": op_gemm}[args.op]
+    # A/B bisect of the tools/artifact_cross.py 69 ms chol anomaly: the
+    # "cross" op replicates its chol_sweepstyle VERBATIM (device-computed
+    # Gram M0 + diag(Qd), separate + n*I inside the op); "crosshost"
+    # keeps the same VALUES but builds M0 on host; "crossplain" folds
+    # n*I into M0 like op_chol. Whichever variant is slow pins the
+    # trigger (constant provenance vs values vs expression shape).
+    m2 = 2 * n
+    A_ = jnp.asarray(
+        rng.standard_normal((m2, n)).astype(np.float32) / np.sqrt(m2))
+    Qd = jnp.asarray((1.0 + rng.random(n)).astype(np.float32))
+    dinv = jnp.asarray((0.5 + rng.random(m2)).astype(np.float32))
+    Atil0 = A_ * dinv[:, None]
+    M0_dev = jnp.matmul(Atil0.T, Atil0, precision=_HI) + jnp.diag(Qd)
+    M0_host = jnp.asarray(np.asarray(M0_dev))
+
+    def op_cross(v):
+        Ms = M0_dev + jnp.diag(jnp.abs(v) * 1e-30) + n * I
+        return jnp.matmul(jnp.linalg.cholesky(Ms), w, precision=_HI)
+
+    def op_crosshost(v):
+        Ms = M0_host + jnp.diag(jnp.abs(v) * 1e-30) + n * I
+        return jnp.matmul(jnp.linalg.cholesky(Ms), w, precision=_HI)
+
+    M0_folded = jnp.asarray(
+        np.asarray(M0_dev) + n * np.eye(n, dtype=np.float32))
+
+    def op_crossplain(v):
+        Ms = M0_folded + jnp.diag(jnp.abs(v) * 1e-30)
+        return jnp.matmul(jnp.linalg.cholesky(Ms), w, precision=_HI)
+
+    op = {"chol": op_chol, "tri": op_tri, "gemm": op_gemm,
+          "cross": op_cross, "crosshost": op_crosshost,
+          "crossplain": op_crossplain}[args.op]
 
     def chain(reps):
         @jax.jit
