@@ -280,6 +280,15 @@ def solve_batch(
             "mixedResiduals": factor_dtype == jnp.float32
             and dtype == jnp.float64,
         }
+    if ("twoModeKKT" not in options and factor_dtype == jnp.float32
+            and backstop):
+        # Under vmap the two-variant generator's lax.cond is a select:
+        # the dead slow-mode factorization executes for EVERY instance
+        # EVERY iteration (~2x the batched per-iteration cost). Pin the
+        # fast variant; the fused rescue tiers below own escalation.
+        # Without a backstop (checkpoint loops) keep the in-loop
+        # escalation — correctness beats the 2x there.
+        options = {**options, "twoModeKKT": False}
     opts = IPMOptions(**options)
     if opts.verbose:
         raise ValueError("verbose output is not supported in batched mode")

@@ -94,6 +94,18 @@ class IPMOptions:
     # per-op latency is a wash). solve_batch enables it on its S-cone
     # tiers, where the batch amortization is decisive.
     refinedEig: Optional[bool] = None
+    # Two-variant KKT generator usage. None (default) = use the
+    # fast/slow ``mode`` contract when the generator offers it — the
+    # in-loop last-mile escalation, correct and cheap for SINGLE solves
+    # where lax.cond executes one branch. False = force the single
+    # fast-mode path even on a two-variant generator: under vmap (the
+    # batched solvers) a lax.cond lowers to a select and BOTH variants'
+    # factorizations execute for every instance every iteration — the
+    # dead slow-mode factorization roughly doubles the batched
+    # per-iteration cost. Batched callers set False and rely on their
+    # rescue-ladder tiers (warm-started re-solves) for the escalation the
+    # in-loop branch would have provided.
+    twoModeKKT: Optional[bool] = None
     # Proactive last-mile: additionally switch the two-variant KKT
     # generator to its full-precision branch once the carried residual is
     # within this factor of tolerance (0 = reactive-only, the default:
@@ -311,6 +323,13 @@ def ipm_solve(
     try:
         _gen_two_mode = "mode" in _inspect.signature(solve3x3gen).parameters
     except (TypeError, ValueError):  # pragma: no cover
+        _gen_two_mode = False
+    if _gen_two_mode and opts.twoModeKKT is False:
+        # vmapped caller (see IPMOptions.twoModeKKT): pin the fast
+        # variant so the loop body holds ONE factorization; the caller's
+        # rescue ladder owns escalation.
+        _gen = solve3x3gen
+        solve3x3gen = lambda F, FinvT: _gen(F, FinvT, mode="fast")  # noqa: E731
         _gen_two_mode = False
 
     def make_solve4(lam, F, FinvT, solve3x3, eig_dtype=None):

@@ -205,7 +205,10 @@ def main() -> None:
                           # GEMM-dominant kernels (same policy as
                           # solve_batch)
                           fastEig=True if spec.sdp_groups else None,
-                          refinedEig=bool(spec.sdp_groups))
+                          refinedEig=bool(spec.sdp_groups),
+                          # vmapped: pin the single fast-mode KKT variant
+                          # (see IPMOptions.twoModeKKT; solve_batch policy)
+                          twoModeKKT=False)
 
         # Production configuration, chained: each chain step runs the
         # EXACT fused-ladder batched solver solve_batch dispatches — fast
@@ -216,10 +219,11 @@ def main() -> None:
             tiers = (
                 (_dk(jnp.float32, jnp.float64),
                  IPMOptions(optTol=1e-6, mixedResiduals=True,
-                            centralityCorrectors=Kc, fastEig=False)),
+                            centralityCorrectors=Kc, fastEig=False,
+                            twoModeKKT=False)),
                 (_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
                                        centralityCorrectors=Kc,
-                                       fastEig=False)),
+                                       fastEig=False, twoModeKKT=False)),
             )
         else:
             # solve_batch's SDP rescue ladder: f64 KKT with f32
@@ -228,12 +232,14 @@ def main() -> None:
             tiers = (
                 ((_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
                                         centralityCorrectors=Kc,
-                                        fastEig=True, refinedEig=True)),)
+                                        fastEig=True, refinedEig=True,
+                                        twoModeKKT=False)),)
                 if _tpu_like() else ()
             ) + (
                 (_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
                                        centralityCorrectors=Kc,
-                                       fastEig=False, refinedEig=True)),
+                                       fastEig=False, refinedEig=True,
+                                       twoModeKKT=False)),
             )
         ladder_solver = make_batched_ladder_solver(spec, kkt, tiers, opts)
         Gb = jnp.zeros((B, 0, n))
