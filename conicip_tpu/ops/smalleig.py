@@ -51,9 +51,27 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 __all__ = ["eigh_refined", "eigvalsh_refined", "cholesky_small",
-           "solve_tri_refined", "cholesky_unrolled", "solve_tri_unrolled"]
+           "solve_tri_refined", "cholesky_unrolled", "solve_tri_unrolled",
+           "eigh_dispatch"]
 
 _HI = jax.lax.Precision.HIGHEST
+
+# XLA's TPU eigh pads small matrices toward the 128-lane tile and runs
+# serial data-dependent Jacobi sweeps — measured orders of magnitude
+# slower than the matrices' FLOPs at the batched S-cone shapes. The
+# tournament-Jacobi solver (ops/jacobi.py) wins there; the crossover is
+# measured by tools/batched_factor_probe.py (eigh_jacobi_* rows).
+_JACOBI_D_MAX = 16
+
+
+def eigh_dispatch(T, enabled: bool = True):
+    """Symmetric eigendecomposition at T's dtype, routed to the batched
+    tournament-Jacobi kernel on TPU for small dimensions."""
+    if enabled and _on_tpu() and T.shape[-1] <= _JACOBI_D_MAX:
+        from .jacobi import eigh_jacobi
+
+        return eigh_jacobi(T)
+    return jnp.linalg.eigh(T)
 
 
 def _on_tpu() -> bool:

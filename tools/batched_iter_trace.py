@@ -128,6 +128,22 @@ def main() -> None:
     mk("cone_prod", lambda zvi: alg.cone_prod(spec, zvi, zs0[0]))
     mk("cone_div_lyap", lambda zvi: alg.cone_div(spec, zvi, zs0[0]))
 
+    # packed-triangle conversions: the vmapped body runs many mat()/vecm()
+    # roundtrips whose constant-index gathers/scatters may dominate on TPU
+    # (the StableHLO census shows ~850 scatter ops in one fast-tier body)
+    from conicip_tpu.cones.symm import mat, vecm
+
+    mk("mat_vecm_roundtrip", lambda zvi: vecm(mat(zvi)))
+    mk("mat_only", lambda zvi: mat(zvi))
+
+    # tournament-Jacobi vs stock eigh at the exact batched cone shapes
+    from conicip_tpu.ops.jacobi import eigh_jacobi
+
+    mk("eigh_stock_f32_conegrp",
+       lambda zvi: jnp.linalg.eigh(mat(zvi).astype(jnp.float32)))
+    mk("eigh_jacobi_f32_conegrp",
+       lambda zvi: eigh_jacobi(mat(zvi).astype(jnp.float32)))
+
     # the full production fast-tier iteration via a 2-iteration
     # while-loop delta is measured by bench_batched; here trace the body
     if args.trace:
