@@ -35,7 +35,7 @@ def main() -> None:
     n = 1024
     m = 2 * n
     rng = np.random.default_rng(0)
-    A = jnp.asarray(rng.standard_normal((m, n)).astype(np.float32) / np.sqrt(m))
+    A = jnp.asarray((rng.standard_normal((m, n)) / np.sqrt(m)).astype(np.float32))
     Qd = jnp.asarray((1.0 + rng.random(n)).astype(np.float32))
     dinv = jnp.asarray((0.5 + rng.random(m)).astype(np.float32))
     v0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))

@@ -127,16 +127,11 @@ def main() -> None:
         X = se.solve_tri_unrolled(LzT, U, lower=False)
         return X * jnp.sqrt(jnp.sqrt(jnp.maximum(lam2, 1e-300)))[..., None, :]
 
-    from conicip_tpu.ops.jacobi import eigh_jacobi
-
     ops = {
         "eigh_f64": lambda v: jnp.linalg.eigh(perturbed(v)),
         "eigh_f32": lambda v: jnp.linalg.eigh(
             perturbed(v).astype(jnp.float32)),
         "eigh_refined": ref_eigh_refined,
-        "eigh_jacobi_f32": lambda v: eigh_jacobi(
-            perturbed(v).astype(jnp.float32)),
-        "eigh_jacobi_f64": lambda v: eigh_jacobi(perturbed(v)),
         "chol_f64": lambda v: jnp.linalg.cholesky(perturbed(v)),
         "chol_f32": lambda v: jnp.linalg.cholesky(
             perturbed(v).astype(jnp.float32)),

@@ -136,13 +136,18 @@ def main() -> None:
     mk("mat_vecm_roundtrip", lambda zvi: vecm(mat(zvi)))
     mk("mat_only", lambda zvi: mat(zvi))
 
-    # tournament-Jacobi vs stock eigh at the exact batched cone shapes
-    from conicip_tpu.ops.jacobi import eigh_jacobi
-
+    # stock eigh floor at the exact batched cone shapes
     mk("eigh_stock_f32_conegrp",
        lambda zvi: jnp.linalg.eigh(mat(zvi).astype(jnp.float32)))
-    mk("eigh_jacobi_f32_conegrp",
-       lambda zvi: eigh_jacobi(mat(zvi).astype(jnp.float32)))
+
+    # shared-eigh call sites (r5): one sdp_eighs + maxstep_multi pair
+    # replaces 2 maxstep calls (4 eighs); compare against maxstep_f32 x2
+    def _ms_multi(zvi):
+        eigs = alg.sdp_eighs(spec, zvi, jnp.float32)
+        return alg.maxstep_multi(spec, zvi, (dv[0], -dv[0]),
+                                 jnp.float32, eigs)
+
+    mk("maxstep_multi_shared_f32", _ms_multi)
 
     # the full production fast-tier iteration via a 2-iteration
     # while-loop delta is measured by bench_batched; here trace the body

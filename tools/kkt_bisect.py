@@ -1,14 +1,12 @@
 #!/usr/bin/env python
 """Bisect the composite dense-KKT iteration cost on TPU.
 
-Round 3/4 finding: the composite per-iteration KKT op (Gram + equilibrate
-+ cholesky + explicit L^-1 + 2 GEMVs) measures ~81 ms at n=1024 on v5e —
-reproducible across tunnel-weather windows and rep counts — while its
-parts, measured individually with the SAME output-feedback chaining, sum
-to ~3 ms (chol 0.22 ms, tri-inv 0.14 ms, Gram 2.7 ms;
-benchmarks/chol_sweep_tpu.json). Something about the combined program is
-pathological. This tool measures growing prefixes of the composite to
-find the offending producer/consumer pair.
+HISTORICAL NOTE (r5): the ~81 ms composite / ~71 ms gram+equil+chol rows
+this tool previously reported were an accidental-f64 measurement — the A
+matrix promoted to f64 via `.astype(np.float32) / np.sqrt(m)` (NumPy-2
+strong scalar), making the probe an emulated-f64 program (see
+tools/anomaly_ab.py). Fixed; the composite now measures ~3 ms at n=1024,
+consistent with its parts and with production (densekkt_n_probe).
 
 Usage: python tools/kkt_bisect.py [--n 1024]
 """
@@ -43,7 +41,7 @@ def main() -> None:
     m = 2 * n
     rng = np.random.default_rng(0)
     A = jnp.asarray(
-        rng.standard_normal((m, n)).astype(np.float32) / np.sqrt(m))
+        (rng.standard_normal((m, n)) / np.sqrt(m)).astype(np.float32))
     Qd = jnp.asarray((1.0 + rng.random(n)).astype(np.float32))
     dinv = jnp.asarray((0.5 + rng.random(m)).astype(np.float32))
     v0 = jnp.asarray(rng.standard_normal(n).astype(np.float32))

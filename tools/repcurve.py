@@ -73,15 +73,14 @@ def main() -> None:
         return jnp.matmul(jnp.matmul(Ms, M0, precision=_HI), w,
                           precision=_HI)
 
-    # A/B bisect of the tools/artifact_cross.py 69 ms chol anomaly: the
-    # "cross" op replicates its chol_sweepstyle VERBATIM (device-computed
-    # Gram M0 + diag(Qd), separate + n*I inside the op); "crosshost"
-    # keeps the same VALUES but builds M0 on host; "crossplain" folds
-    # n*I into M0 like op_chol. Whichever variant is slow pins the
-    # trigger (constant provenance vs values vs expression shape).
+    # Historical A/B of the 69 ms chol anomaly — RESOLVED (r5,
+    # tools/anomaly_ab.py): the cross ops' A matrix silently promoted to
+    # f64 (`.astype(np.float32) / np.sqrt(m2)` — NumPy-2 strong scalar),
+    # so the "slow" variants were emulated-f64 programs. Fixed below;
+    # all variants now measure the f32 cost.
     m2 = 2 * n
     A_ = jnp.asarray(
-        rng.standard_normal((m2, n)).astype(np.float32) / np.sqrt(m2))
+        (rng.standard_normal((m2, n)) / np.sqrt(m2)).astype(np.float32))
     Qd = jnp.asarray((1.0 + rng.random(n)).astype(np.float32))
     dinv = jnp.asarray((0.5 + rng.random(m2)).astype(np.float32))
     Atil0 = A_ * dinv[:, None]
