@@ -43,6 +43,8 @@ __all__ = [
     "cone_prod",
     "cone_div",
     "maxstep",
+    "maxstep_multi",
+    "sdp_eighs",
     "maxstep_to_cone",
     "lyap_solve",
     "centrality_correction",
@@ -115,7 +117,36 @@ def _arith_dtype(wd, eig_dtype):
     return wd if eig_dtype in (None, "refined") else eig_dtype
 
 
-def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray, eig_dtype=None) -> jnp.ndarray:
+def sdp_eighs(spec: ConeSpec, x: jnp.ndarray, eig_dtype=None):
+    """Per-S-group eigendecompositions of ``mat(x)`` — the shared
+    once-per-iteration decomposition plan.
+
+    One IPM iteration consumes eigh(mat(λ)) in up to ~7 places (every
+    Lyapunov division against λ in solve4, and — via the congruence
+    invariance ``maxstep(z.v, d) = maxstep(λ, F d)`` — every max-step
+    call).  XLA's batched eigh of tiny matrices costs ~0.9 ms per call on
+    v5e regardless of FLOPs (lane-padded serial sweeps), so recomputing it
+    per call dominated the batched small-SDP iteration (the measured
+    0.01x disaster, VERDICT r4).  Computing it once here and threading the
+    factors through :func:`cone_div`/:func:`maxstep_multi` removes ~10
+    decomposition calls per iteration.
+
+    Returns a tuple over ``spec.sdp_groups`` of ``(w, U)`` at the
+    ``eig_dtype`` discipline of :func:`_eigh_d` (factors in the group's
+    arithmetic dtype).
+    """
+    out = []
+    wd = x.dtype
+    ed = _arith_dtype(wd, eig_dtype)
+    for g in spec.sdp_groups:
+        X = mat(take_group(g, x)).astype(ed)
+        w, U = _eigh_d(X, eig_dtype)
+        out.append((w.astype(wd), U.astype(wd)))
+    return tuple(out)
+
+
+def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray, eig_dtype=None,
+               y_eig=None) -> jnp.ndarray:
     """Solve ``Y O + O Y = X`` for symmetric Y, X, batched over leading dims.
 
     TPU-native replacement for the reference's LAPACK ``lyap`` call
@@ -127,8 +158,15 @@ def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray, eig_dtype=None) -> jnp.ndarray:
     f64 eigh computes at only ~5e-7 anyway — the measured NT floor) in a
     lower precision, with the combination arithmetic kept in the working
     dtype. Used by the IPM's fast-phase iterations (solver/ipm.py).
+    ``y_eig`` supplies a precomputed ``(w, U)`` of Y (:func:`sdp_eighs`).
     """
-    w, U = _eigh_d(Y, eig_dtype)
+    w, U = _eigh_d(Y, eig_dtype) if y_eig is None else y_eig
+    if U is None:
+        # Y is (numerically) diagonal with eigenvalues w in the standard
+        # basis — the NT-scaled point case (scaling.SdpScaling.lam):
+        # the Lyapunov solve is elementwise, no matmuls at all.
+        denom = w[..., :, None] + w[..., None, :]
+        return X / denom
     Ut = jnp.swapaxes(U, -1, -2)
     Xt = _mm(_mm(Ut, X), U)
     denom = w[..., :, None] + w[..., None, :]
@@ -137,7 +175,7 @@ def lyap_solve(Y: jnp.ndarray, X: jnp.ndarray, eig_dtype=None) -> jnp.ndarray:
 
 
 def cone_div(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray,
-             eig_dtype=None) -> jnp.ndarray:
+             eig_dtype=None, y_eigs=None) -> jnp.ndarray:
     if spec.only_r:
         return x / y
     o = jnp.zeros_like(x)
@@ -159,10 +197,11 @@ def cone_div(spec: ConeSpec, x: jnp.ndarray, y: jnp.ndarray,
         beta2 = 1.0 / y1
         tail = yb * beta1 + xb * beta2
         o = put_group(g, o, jnp.concatenate([head, tail], axis=1))
-    for g in spec.sdp_groups:
+    for gi, g in enumerate(spec.sdp_groups):
         X = mat(take_group(g, x))
         Y = mat(take_group(g, y))
-        o = put_group(g, o, vecm(lyap_solve(Y, X, eig_dtype)))
+        y_eig = None if y_eigs is None else y_eigs[gi]
+        o = put_group(g, o, vecm(lyap_solve(Y, X, eig_dtype, y_eig=y_eig)))
     return o
 
 
@@ -218,6 +257,84 @@ def maxstep(spec: ConeSpec, x: jnp.ndarray, d: jnp.ndarray,
         a = jnp.where(pd, a, inf_e)  # X not PD ⇒ Inf (ConicIP.jl:277-280)
         steps.append(jnp.min(a))
     return jnp.min(jnp.stack(steps))
+
+
+def maxstep_multi(spec: ConeSpec, x: jnp.ndarray, ds, eig_dtype=None,
+                  x_eigs=None):
+    """Max-step of ``x`` against SEVERAL directions ``ds`` at once.
+
+    The IPM needs two max-steps per call site (against the v- and s-side
+    directions); computed independently each costs one batched tiny eigh
+    of ``M = X^{-1/2} D X^{-1/2}`` — and on v5e a batched eigh of tiny
+    matrices has a ~0.9 ms floor regardless of batch FLOPs.  Here the
+    S-cone ``M`` matrices of ALL directions are stacked into ONE batched
+    eigh per group, and ``x_eigs`` (:func:`sdp_eighs`) supplies the
+    decomposition of ``mat(x)`` so it is never recomputed.  R/SOC parts
+    are closed-form and evaluated per direction.
+
+    Returns a tuple of per-direction step lengths (same semantics as
+    :func:`maxstep`).
+    """
+    wd = x.dtype
+    inf = jnp.asarray(jnp.inf, wd)
+    nd = len(ds)
+    steps = [[inf] for _ in range(nd)]
+    if spec.nr:
+        xr = take_r(spec, x)
+        for i, d in enumerate(ds):
+            dr = take_r(spec, d)
+            steps[i].append(jnp.min(jnp.where(dr > 0, xr / dr, inf)))
+    for g in spec.soc_groups:
+        xg = take_group(g, x)
+        gam = _qf(xg)  # (k,)
+        sg = jnp.sqrt(gam)
+        xbar = xg / sg[:, None]
+        for i, d in enumerate(ds):
+            dn = -take_group(g, d)
+            beta = 2.0 * xbar[:, 0] * dn[:, 0] - _dot(xbar, dn)
+            rho1 = beta / sg
+            mu = (beta + dn[:, 0]) / (xbar[:, 0] + 1.0)
+            rho2 = dn[:, 1:] - mu[:, None] * xbar[:, 1:]
+            a = jnp.linalg.norm(rho2, axis=-1) / sg - rho1
+            steps[i].append(jnp.min(jnp.where(a < 0, inf, 1.0 / a)))
+    ed = _arith_dtype(wd, eig_dtype)
+    for gi, g in enumerate(spec.sdp_groups):
+        diag_x = False
+        if x_eigs is None:
+            X = mat(take_group(g, x)).astype(ed)
+            wX, U = _eigh_d(X, eig_dtype)
+        else:
+            wX, U = x_eigs[gi]
+            wX = wX.astype(ed)
+            diag_x = U is None  # NT-scaled-point case: mat(x) ≈ diag(wX)
+            if not diag_x:
+                U = U.astype(ed)
+        pd = jnp.all(wX > 0, axis=-1)  # (k,)
+        w_safe = jnp.maximum(wX, jnp.finfo(ed).tiny)
+        rs = jax.lax.rsqrt(w_safe)
+        if not diag_x:
+            Xih = _mm(U * rs[..., None, :], jnp.swapaxes(U, -1, -2))
+        Ms = []
+        for d in ds:
+            D = mat(take_group(g, d)).astype(ed)
+            if diag_x:
+                M = D * rs[..., :, None] * rs[..., None, :]
+            else:
+                M = _mm(_mm(Xih, D), Xih)
+            Ms.append(0.5 * (M + jnp.swapaxes(M, -1, -2)))
+        # ONE batched eigh over (nd*k, d, d) instead of nd separate calls
+        lam_all = _eigh_d(jnp.concatenate(Ms, axis=0), eig_dtype)[0]
+        lam_all = lam_all.astype(wd)
+        inf_e = jnp.asarray(jnp.inf, wd)
+        k = g.count
+        for i in range(nd):
+            lam = lam_all[i * k:(i + 1) * k]
+            all_neg = jnp.all(lam < 0, axis=-1)
+            mx = jnp.max(jnp.where(lam < 0, -inf_e, lam), axis=-1)
+            a = jnp.where(all_neg, inf_e, 1.0 / mx)
+            a = jnp.where(pd, a, inf_e)
+            steps[i].append(jnp.min(a))
+    return tuple(jnp.min(jnp.stack(s)) for s in steps)
 
 
 def centrality_correction(spec: ConeSpec, w: jnp.ndarray, lo, hi,

@@ -73,6 +73,15 @@ class SdpScaling:
     # (R⁻¹ = diag(1/√λ)·Uᵀ·Lzᵀ), and jnp.linalg.inv (f64 LU) does not
     # compile on the v5e toolchain anyway.
     Sinv: jnp.ndarray  # (k, d, d)
+    # Eigenvalues of the NT-scaled point: mat(F z) = RᵀZR = Λ is DIAGONAL
+    # in exact arithmetic (RᵀZR = Λ^½UᵀLz⁻¹(LzLzᵀ)Lz⁻ᵀUΛ^½ = Λ), so the
+    # iteration's Lyapunov divisions against λ and λ-frame max-steps need
+    # no eigendecomposition of mat(λ) at all — its spectral data is THIS
+    # byproduct of the scaling construction (the CVXOPT-style spectral-λ
+    # formulation). On v5e a batched tiny eigh costs ~0.9 ms per call
+    # regardless of FLOPs; the IPM consumed up to ~7 of them per
+    # iteration on exactly this matrix.
+    lam: jnp.ndarray  # (k, d)
 
 
 @jax.tree_util.register_dataclass
@@ -146,6 +155,8 @@ def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray,
         LzT = jnp.swapaxes(Lz, -1, -2)
         if _use_svd():
             Ls = jnp.linalg.cholesky(Sm)
+            # σ(LzᵀLs) = Λ: RᵀZR = √Λ·UᵀLz⁻¹(LzLzᵀ)Lz⁻ᵀU·√Λ = Λ — same
+            # spectral point as the eigh branch's sqrt(eig(LzᵀSmLz)).
             U, lam, _ = jnp.linalg.svd(_mm(LzT, Ls))
         else:
             # eigh form of the same factorization: for M = LzᵀLs,
@@ -167,7 +178,8 @@ def nt_scaling(spec: ConeSpec, z: jnp.ndarray, s: jnp.ndarray,
         R = X * sl[..., None, :]
         # closed-form inverse: R⁻¹ = diag(1/√λ) Uᵀ Lzᵀ
         Rinv = _mm(jnp.swapaxes(U, -1, -2), LzT) / sl[..., :, None]
-        sdp.append(SdpScaling(S=R.astype(wd), Sinv=Rinv.astype(wd)))
+        sdp.append(SdpScaling(S=R.astype(wd), Sinv=Rinv.astype(wd),
+                              lam=lam.astype(wd)))
     return NTScaling(r_d=r_d, soc=tuple(soc), sdp=tuple(sdp))
 
 
@@ -190,6 +202,10 @@ def nt_identity(spec: ConeSpec, dtype=jnp.float64) -> NTScaling:
             Sinv=jnp.broadcast_to(
                 jnp.eye(g.order, dtype=dtype), (g.count, g.order, g.order)
             ),
+            # the identity scaling is only ever used with the cone
+            # identity as the scaled point (the cold-start solve,
+            # ConicIP.jl:704-706): mat(e) = I, eigenvalues 1
+            lam=jnp.ones((g.count, g.order), dtype),
         )
         for g in spec.sdp_groups
     )
@@ -209,11 +225,13 @@ def nt_inv_adjoint(spec: ConeSpec, F: NTScaling) -> NTScaling:
         soc.append(SocScaling(d=dinv, u=uh, alpha=-sc.alpha / denom))
     sdp = []
     for sd in F.sdp:
-        # F⁻ᵀ maps S → S⁻ᵀ; the pair (S, S⁻¹) just swaps (+transpose)
+        # F⁻ᵀ maps S → S⁻ᵀ; the pair (S, S⁻¹) just swaps (+transpose).
+        # The scaled point is the same λ (F z = F⁻ᵀ s = λ) — carry it.
         sdp.append(
             SdpScaling(
                 S=jnp.swapaxes(sd.Sinv, -1, -2),
                 Sinv=jnp.swapaxes(sd.S, -1, -2),
+                lam=sd.lam,
             )
         )
     return NTScaling(r_d=r_d, soc=tuple(soc), sdp=tuple(sdp))

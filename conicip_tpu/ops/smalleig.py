@@ -51,27 +51,19 @@ import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
 __all__ = ["eigh_refined", "eigvalsh_refined", "cholesky_small",
-           "solve_tri_refined", "cholesky_unrolled", "solve_tri_unrolled",
-           "eigh_dispatch"]
+           "solve_tri_refined", "cholesky_unrolled", "solve_tri_unrolled"]
 
 _HI = jax.lax.Precision.HIGHEST
 
 # XLA's TPU eigh pads small matrices toward the 128-lane tile and runs
-# serial data-dependent Jacobi sweeps — measured orders of magnitude
-# slower than the matrices' FLOPs at the batched S-cone shapes. The
-# tournament-Jacobi solver (ops/jacobi.py) wins there; the crossover is
-# measured by tools/batched_factor_probe.py (eigh_jacobi_* rows).
-_JACOBI_D_MAX = 16
-
-
-def eigh_dispatch(T, enabled: bool = True):
-    """Symmetric eigendecomposition at T's dtype, routed to the batched
-    tournament-Jacobi kernel on TPU for small dimensions."""
-    if enabled and _on_tpu() and T.shape[-1] <= _JACOBI_D_MAX:
-        from .jacobi import eigh_jacobi
-
-        return eigh_jacobi(T)
-    return jnp.linalg.eigh(T)
+# serial sweeps — a ~0.9 ms floor per batched call at the S-cone shapes
+# regardless of batch FLOPs. A tournament-Jacobi replacement (pure
+# batched matmuls + masks) was built and measured in round 4: it TIES
+# stock eigh at the target shape (0.895 vs 0.869 ms, B=64 d=10 f32 on
+# v5e; benchmarks/batched_iter_trace_tpu.json) because its ~200
+# sequential tiny ops pay the same per-op dispatch floor — so it was
+# removed (r5). The effective fix is architectural: share and stack the
+# per-iteration eigh calls (cones/algebra.sdp_eighs, maxstep_multi).
 
 
 def _on_tpu() -> bool:

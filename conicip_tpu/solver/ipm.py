@@ -332,12 +332,17 @@ def ipm_solve(
         solve3x3gen = lambda F, FinvT: _gen(F, FinvT, mode="fast")  # noqa: E731
         _gen_two_mode = False
 
-    def make_solve4(lam, F, FinvT, solve3x3, eig_dtype=None):
-        """4x4 → 3x3 reduction (solve4x4gen, ConicIP.jl:669-694)."""
+    def make_solve4(lam, F, FinvT, solve3x3, eig_dtype=None, lam_eigs=None):
+        """4x4 → 3x3 reduction (solve4x4gen, ConicIP.jl:669-694).
+
+        ``lam_eigs`` shares one eigendecomposition of mat(λ) across every
+        Lyapunov division this iteration (predictor, corrector, ≤3
+        refinements — the same matrix each time; see ca.sdp_eighs)."""
 
         def solve4(r: Vec4) -> Vec4:
             t1 = sc.apply_adjoint(
-                spec, F, ca.cone_div(spec, r.s, lam, eig_dtype)
+                spec, F, ca.cone_div(spec, r.s, lam, eig_dtype,
+                                     y_eigs=lam_eigs)
             )
             dy, dw, dv = solve3x3(r.y, r.w, r.v + t1)
             ds = t1 - sc.apply_adjoint(spec, F, sc.apply(spec, F, dv))
@@ -351,9 +356,11 @@ def ipm_solve(
     if warm is None:
         Fi = sc.nt_identity(spec, dtype)
         solve3_init = solve3x3gen(Fi, Fi)
-        z0 = make_solve4(e, Fi, Fi, solve3_init)(
-            Vec4(c, d, b, jnp.zeros(m, dtype))
-        )
+        z0 = make_solve4(
+            e, Fi, Fi, solve3_init,
+            lam_eigs=(tuple((sd.lam, None) for sd in Fi.sdp)
+                      if spec.sdp_groups else None),
+        )(Vec4(c, d, b, jnp.zeros(m, dtype)))
     else:
         z0 = Vec4(
             warm.y.astype(dtype),
@@ -621,22 +628,57 @@ def ipm_solve(
             )
 
         # ── Predictor / corrector / refinement / step — only while running.
+        # λ-frame max-steps for S-cone specs: by congruence invariance
+        # maxstep(z.v, d) = maxstep(λ, F d) and maxstep(z.s, d) =
+        # maxstep(λ, F⁻ᵀ d) — the scaled directions are needed by the
+        # corrector anyway, mat(λ) is decomposed ONCE per iteration
+        # (sdp_eighs), and the two per-site eighs stack into one batched
+        # call (maxstep_multi). Cuts the batched tiny-eigh count per
+        # iteration from ~15 to ~4 — the measured dominator of the
+        # batched small-SDP family (VERDICT r4). R/Q-only specs keep the
+        # original direct-frame path bit-for-bit.
+        _lam_frame = bool(spec.sdp_groups)
+
         def _take_step_with(solve3x3, z, eig_dtype=None):
+            # Spectral data of mat(λ) is a free byproduct of the NT
+            # scaling (mat(λ) = RᵀZR = Λ exactly; SdpScaling.lam) — no
+            # eigendecomposition, and the identity basis (U = None) turns
+            # every Lyapunov division elementwise and every λ-frame
+            # max-step M into a diagonal congruence.
+            lam_eigs = (
+                tuple((sd.lam, None) for sd in F.sdp)
+                if _lam_frame else None
+            )
+
+            def steps2(dv_scaled, ds_scaled):
+                av, as_ = ca.maxstep_multi(
+                    spec, lam, (dv_scaled, ds_scaled), eig_dtype, lam_eigs
+                )
+                return jnp.minimum(
+                    jnp.minimum(av, 1.0), jnp.minimum(as_, 1.0)
+                )
+
             # LEVEL-2 plugin callback: per-iteration numeric refactorization
-            solve4 = make_solve4(lam, F, FinvT, solve3x3, eig_dtype)
+            solve4 = make_solve4(lam, F, FinvT, solve3x3, eig_dtype,
+                                 lam_eigs)
 
             # Predictor (ConicIP.jl:879-887)
             d_aff = solve4(r0)
-            a_aff = jnp.minimum(
-                jnp.minimum(ca.maxstep(spec, z.v, d_aff.v, eig_dtype), 1.0),
-                jnp.minimum(ca.maxstep(spec, z.s, d_aff.s, eig_dtype), 1.0),
-            )
+            FiTds = sc.apply(spec, FinvT, d_aff.s)
+            Fdv = sc.apply(spec, F, d_aff.v)
+            if _lam_frame:
+                a_aff = steps2(Fdv, FiTds)
+            else:
+                a_aff = jnp.minimum(
+                    jnp.minimum(
+                        ca.maxstep(spec, z.v, d_aff.v, eig_dtype), 1.0),
+                    jnp.minimum(
+                        ca.maxstep(spec, z.s, d_aff.s, eig_dtype), 1.0),
+                )
             rho = fts(z.v, a_aff, d_aff.v, z.s, a_aff, d_aff.s) / mubar
             sigma = jnp.clip(rho, 0.0, 1.0) ** 3
 
             # Corrector (ConicIP.jl:893-901)
-            FiTds = sc.apply(spec, FinvT, d_aff.s)
-            Fdv = sc.apply(spec, F, d_aff.v)
             lc = -(ca.cone_prod(spec, FiTds, Fdv)) + sigma * mu * e
             r = Vec4(r0.y, r0.w, r0.v, rleft.s - lc)
 
@@ -689,12 +731,19 @@ def ipm_solve(
 
             # Step with fraction-to-boundary (ConicIP.jl:927-932)
             inv_dtb = 1.0 / (1.0 - opts.DTB)
-            alpha = jnp.minimum(
-                jnp.minimum(
-                    ca.maxstep(spec, z.v, dz.v * inv_dtb, eig_dtype), 1.0),
-                jnp.minimum(
-                    ca.maxstep(spec, z.s, dz.s * inv_dtb, eig_dtype), 1.0),
-            )
+            if _lam_frame:
+                Fdzv = sc.apply(spec, F, dz.v)
+                FiTdzs = sc.apply(spec, FinvT, dz.s)
+                alpha = steps2(Fdzv * inv_dtb, FiTdzs * inv_dtb)
+            else:
+                alpha = jnp.minimum(
+                    jnp.minimum(
+                        ca.maxstep(spec, z.v, dz.v * inv_dtb, eig_dtype),
+                        1.0),
+                    jnp.minimum(
+                        ca.maxstep(spec, z.s, dz.s * inv_dtb, eig_dtype),
+                        1.0),
+                )
             # A non-finite direction (e.g. a failed f32 factorization)
             # must not corrupt the iterate: freeze instead, so the solve
             # ends Abandoned with the best iterate intact rather than
@@ -738,16 +787,24 @@ def ipm_solve(
                     )
                 )
                 dz_c = dz + ddz
-                a_c = jnp.minimum(
-                    jnp.minimum(
-                        ca.maxstep(spec, z.v, dz_c.v * inv_dtb, eig_dtype),
-                        1.0,
-                    ),
-                    jnp.minimum(
-                        ca.maxstep(spec, z.s, dz_c.s * inv_dtb, eig_dtype),
-                        1.0,
-                    ),
-                )
+                if _lam_frame:
+                    a_c = steps2(
+                        (Fdv + sc.apply(spec, F, ddz.v)) * inv_dtb,
+                        (FiTds_c + sc.apply(spec, FinvT, ddz.s)) * inv_dtb,
+                    )
+                else:
+                    a_c = jnp.minimum(
+                        jnp.minimum(
+                            ca.maxstep(spec, z.v, dz_c.v * inv_dtb,
+                                       eig_dtype),
+                            1.0,
+                        ),
+                        jnp.minimum(
+                            ca.maxstep(spec, z.s, dz_c.s * inv_dtb,
+                                       eig_dtype),
+                            1.0,
+                        ),
+                    )
                 fin = (
                     jnp.all(jnp.isfinite(ddz.y))
                     & jnp.all(jnp.isfinite(ddz.v))

@@ -52,8 +52,6 @@ def main() -> None:
     kkt = _default_kktsolver(jnp.float32)  # dense MXU Schur path
 
     rng = np.random.default_rng(0)
-    A = jax.device_put(jnp.asarray(np.vstack([np.eye(n), -np.eye(n)])))
-    b = jax.device_put(jnp.asarray(-np.ones(2 * n)))
     G = jnp.zeros((0, n))
     d = jnp.zeros((0,))
     # dense SPD Qs generated on device (tunnel transfer discipline)
@@ -72,6 +70,14 @@ def main() -> None:
     def make_solve_all(count):
         @jax.jit
         def solve_all(Qs, cs):
+            # A = [I; -I], b = -1 built ON DEVICE: as closure constants
+            # they would be embedded in the HLO and at n=4096 the 268 MB
+            # f64 A overflows the tunnel's compile-request limit (HTTP
+            # 413, observed r5).
+            I = jnp.eye(n, dtype=jnp.float64)
+            A = jnp.concatenate([I, -I], axis=0)
+            b = -jnp.ones(2 * n, dtype=jnp.float64)
+
             def body(i, acc):
                 iters, resid, nbad = acc
                 st = ipm_solve(Qs[i], cs[i], A, b, G, d, spec, kkt, opts)
