@@ -322,8 +322,18 @@ def maxstep_multi(spec: ConeSpec, x: jnp.ndarray, ds, eig_dtype=None,
             else:
                 M = _mm(_mm(Xih, D), Xih)
             Ms.append(0.5 * (M + jnp.swapaxes(M, -1, -2)))
-        # ONE batched eigh over (nd*k, d, d) instead of nd separate calls
-        lam_all = _eigh_d(jnp.concatenate(Ms, axis=0), eig_dtype)[0]
+        # ONE batched eigh over (nd*k, d, d) instead of nd separate calls.
+        # Step lengths only need λmax to ~1e-3 relative (the 1% DTB
+        # fraction-to-boundary margin dominates), and f32 eigh computes
+        # the LARGEST eigenvalue to ~1e-6 relative — so the step eigh
+        # always runs in f32, even when the surrounding iteration uses
+        # refined (emulated-f64) decompositions, whose GEMM sweeps would
+        # cost ~4x here for digits the step cannot use.
+        Mc = jnp.concatenate(Ms, axis=0)
+        if Mc.dtype == jnp.float64:
+            lam_all = jnp.linalg.eigvalsh(Mc.astype(jnp.float32))
+        else:
+            lam_all = _eigh_d(Mc, eig_dtype)[0]
         lam_all = lam_all.astype(wd)
         inf_e = jnp.asarray(jnp.inf, wd)
         k = g.count

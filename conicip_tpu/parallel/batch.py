@@ -239,6 +239,7 @@ def solve_batch(
 
     spec = ConeSpec(cone_dims)
     auto_schur = False
+    auto_kkt = kktsolver is None
     if kktsolver is None:
         # auto structure exploitation (same policy as conic_ip), but the
         # separability pattern must hold for EVERY instance in the batch.
@@ -338,50 +339,28 @@ def solve_batch(
                                "fastEig": False})),
             )
         else:
-            # S-cone rescue, two tiers on TPU: first the f64 KKT tier
-            # with f32 decompositions — on v5e the emulated-f64 eigh
-            # serializes at ~100x the latency for barely better accuracy
-            # (the ~5e-7 NT-property floor), and with the blocked f64
-            # factorization (ops/blocked64.py) this tier rescues the
-            # common f32-factorization stall at near-f32 cost. A final
-            # full-precision-decomposition tier backstops the rare
-            # instance whose 1e-6 certification needs the extra
-            # decomposition digits (measured: ~1 in 6 on the batched
-            # small-SDP family). Tiers are batch-level cond-gated, so an
-            # unneeded tier costs nothing. On CPU the f32-decomposition
-            # tier is pointless (native f64 eigh is fast) — skip it.
-            # Every batched tier carries refinedEig: under vmap the
-            # solver's full-precision decompositions are unavoidable
-            # selects (the fastEig lax.cond's slow branch EXECUTES every
-            # iteration of every instance), and XLA's monolithic
-            # emulated-f64 eigh/chol/tri-solve serialize — the measured
-            # 0.01x batched-SDP disaster. The refined/unrolled kernels
-            # (ops/smalleig.py) are batched GEMMs/elementwise sweeps at
-            # the same-or-better accuracy.
-            fused_tiers = (
-                ((_default_kktsolver(None),
-                  IPMOptions(**{**options, "mixedResiduals": False,
-                                "fastEig": True,
-                                "refinedEig": options.get("refinedEig", True)})),)
-                if _tpu_like() else ()
-            ) + (
-                (_default_kktsolver(None),
-                 IPMOptions(**{**options, "mixedResiduals": False,
-                               "fastEig": False,
-                               "refinedEig": options.get("refinedEig", True)})),
-            )
-        if spec.sdp_groups and "fastEig" not in options:
-            # Batched fast tier: run the S-cone decompositions (NT
-            # scaling, max-step, Lyapunov) in f32 — same effective
-            # accuracy as f64 eigh on v5e (the ~5e-7 NT floor) at a
-            # fraction of the latency; the fused full-f64 rescue tier
-            # above is the escape hatch a single solve gets from its
-            # two-variant KKT generator. refinedEig keeps the vmap-select
-            # slow branch (see tier note above) off the serialized
-            # emulated-f64 ops.
-            opts = IPMOptions(**{**options, "fastEig": True,
-                                 "refinedEig": options.get("refinedEig",
-                                                           True)})
+            # S-cone batched policy (r5, measured on chip —
+            # benchmarks/sdp_stage_split_tpu.json): the f32 tiers are a
+            # false economy here. The f32-decomposition fast tier NaNs
+            # out for ~97% of instances by iteration ~6 (CPU and TPU
+            # alike — the f32 eigh of the NT congruence collapses once
+            # kappa ~ 1/mu passes ~1e7), the f32-KKT + refined variant
+            # still fails 62/64, and every broken instance then re-pays
+            # a full rescue tier while its vmapped stragglers hold the
+            # loop open to maxIters. The ONE config that certifies
+            # 64/64 cold is f64 KKT + refined (GEMM-dominant
+            # batched-f64) decompositions — 2.06 s at B=64 vs 10.3 s for
+            # the r4 ladder — so the batched SDP path now runs THAT as
+            # its single tier: the main solve below is switched to the
+            # full-precision solver and no fused rescue is stacked on
+            # top (the host backstop remains as the safety net).
+            fused_tiers = ()
+        if spec.sdp_groups and not fused_tiers and auto_kkt:
+            kktsolver = _default_kktsolver(None)
+            opts = IPMOptions(**{**options, "mixedResiduals": False,
+                                 "fastEig": False,
+                                 "refinedEig": options.get(
+                                     "refinedEig", _tpu_like())})
 
     if fused_tiers:
         solver = make_batched_ladder_solver(

@@ -189,33 +189,32 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best, out
 
+    from conicip_tpu.parallel.batch import make_batched_solver
+
     results = []
     for name in picked:
         fam = FAMILIES[name]()
         spec = ConeSpec(fam["cones"])
         n = np.shape(fam["Q"])[-1]
-        kkt = _dk(jnp.float32)
         Kc = fam["Kc"]
-        opts = IPMOptions(optTol=1e-6, mixedResiduals=True,
-                          centralityCorrectors=Kc,
-                          # batched SDP fast tier: f32 decompositions,
-                          # fused rescue tiers as the escape hatch, and
-                          # every full-precision decomposition (incl. the
-                          # vmap-select slow branch) on the refined
-                          # GEMM-dominant kernels (same policy as
-                          # solve_batch)
-                          fastEig=True if spec.sdp_groups else None,
-                          refinedEig=bool(spec.sdp_groups),
-                          # vmapped: pin the single fast-mode KKT variant
-                          # (see IPMOptions.twoModeKKT; solve_batch policy)
-                          twoModeKKT=False)
 
-        # Production configuration, chained: each chain step runs the
-        # EXACT fused-ladder batched solver solve_batch dispatches — fast
-        # f32 tier plus cond-gated rescue tiers (skipped when every
-        # instance certifies in f32), so the measured rate includes
-        # escalation cost exactly when production pays it.
-        if not spec.sdp_groups:
+        # Production configuration, chained — mirrors solve_batch's
+        # policy exactly (r5): S-cone specs run ONE f64-KKT tier with
+        # refined (GEMM-dominant batched-f64) decompositions — the only
+        # config that certifies the batch cold on chip
+        # (benchmarks/sdp_stage_split_tpu.json; the f32 tiers NaN out
+        # for ~97% of instances and re-pay rescue anyway). R/Q specs
+        # keep the f32 fast tier + cond-gated rescue ladder.
+        if spec.sdp_groups:
+            opts = IPMOptions(optTol=1e-6, mixedResiduals=False,
+                              centralityCorrectors=Kc, fastEig=False,
+                              refinedEig=_tpu_like(), twoModeKKT=False)
+            ladder_solver = make_batched_solver(spec, _dk(None), opts)
+        else:
+            kkt = _dk(jnp.float32)
+            opts = IPMOptions(optTol=1e-6, mixedResiduals=True,
+                              centralityCorrectors=Kc,
+                              twoModeKKT=False)
             tiers = (
                 (_dk(jnp.float32, jnp.float64),
                  IPMOptions(optTol=1e-6, mixedResiduals=True,
@@ -225,23 +224,8 @@ def main() -> None:
                                        centralityCorrectors=Kc,
                                        fastEig=False, twoModeKKT=False)),
             )
-        else:
-            # solve_batch's SDP rescue ladder: f64 KKT with f32
-            # decompositions first (cheap on TPU), full-precision
-            # decompositions as the final backstop
-            tiers = (
-                ((_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
-                                        centralityCorrectors=Kc,
-                                        fastEig=True, refinedEig=True,
-                                        twoModeKKT=False)),)
-                if _tpu_like() else ()
-            ) + (
-                (_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
-                                       centralityCorrectors=Kc,
-                                       fastEig=False, refinedEig=True,
-                                       twoModeKKT=False)),
-            )
-        ladder_solver = make_batched_ladder_solver(spec, kkt, tiers, opts)
+            ladder_solver = make_batched_ladder_solver(spec, kkt, tiers,
+                                                       opts)
         Gb = jnp.zeros((B, 0, n))
         db = jnp.zeros((B, 0))
 

@@ -36,6 +36,7 @@ def main() -> None:
     ap.add_argument("--bscan", type=int, nargs="*", default=[64, 256])
     ap.add_argument("--maxiters-scan", type=int, nargs="*", default=[])
     ap.add_argument("--skip-tiers", action="store_true")
+    ap.add_argument("--only-bscan", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -95,14 +96,15 @@ def main() -> None:
     opts_t1 = mkopts(mixedResiduals=False, fastEig=True, refinedEig=True)
     opts_t2 = mkopts(mixedResiduals=False, fastEig=False, refinedEig=True)
 
-    # ── stage 1: fast tier alone ──
     (Qd, cd, Ad, bd), Gz, dz, spec = family(B)
-    fast = make_batched_solver(spec, _dk(jnp.float32), opts_fast)
-    t_fast, st_fast = timed(fast, Qd, cd, Ad, bd, Gz, dz)
-    out["fast_tier"] = dict(t_s=round(t_fast, 4), **stats(st_fast))
-    print(json.dumps({"fast_tier": out["fast_tier"]}), flush=True)
+    if not args.only_bscan:
+        # ── stage 1: fast tier alone ──
+        fast = make_batched_solver(spec, _dk(jnp.float32), opts_fast)
+        t_fast, st_fast = timed(fast, Qd, cd, Ad, bd, Gz, dz)
+        out["fast_tier"] = dict(t_s=round(t_fast, 4), **stats(st_fast))
+        print(json.dumps({"fast_tier": out["fast_tier"]}), flush=True)
 
-    if not args.skip_tiers:
+    if not args.skip_tiers and not args.only_bscan:
         # warm start exactly as the fused rescue does
         def warm_from(st, Ad, bd):
             y = jnp.asarray(np.asarray(st.y))
@@ -123,6 +125,21 @@ def main() -> None:
         out["tier2_full_refined"] = dict(t_s=round(t_t2, 4), **stats(st_t2))
         print(json.dumps({"tier2": out["tier2_full_refined"]}), flush=True)
 
+    # ── cold single-tier configs: which (kkt dtype, decomposition mode)
+    # pairs certify, and at what cost, WITHOUT any ladder ──
+    cold_configs = {} if args.only_bscan else {
+        "cold_f64kkt_refined": (_dk(None), mkopts(
+            mixedResiduals=False, fastEig=False, refinedEig=True)),
+        "cold_f32kkt_refined": (_dk(jnp.float32), mkopts(
+            mixedResiduals=True, fastEig=False, refinedEig=True)),
+    }
+    for cname, (ckkt, copts) in cold_configs.items():
+        f = make_batched_solver(spec, ckkt, copts)
+        t, st = timed(f, Qd, cd, Ad, bd, Gz, dz)
+        row = dict(t_s=round(t, 4), **stats(st))
+        out[cname] = row
+        print(json.dumps({cname: row}), flush=True)
+
     # ── maxIters scan of the fast tier (straggler detector) ──
     for mi in args.maxiters_scan:
         o = mkopts(mixedResiduals=True, fastEig=True, refinedEig=True,
@@ -133,18 +150,18 @@ def main() -> None:
         out[f"fast_maxIters_{mi}"] = row
         print(json.dumps({f"fast_maxIters_{mi}": row}), flush=True)
 
-    # ── batch-size scan of the fast tier ──
+    # ── batch-size scan of the PRODUCTION config (f64 KKT + refined
+    # decompositions): the program is op-count-bound, so throughput
+    # should scale ~linearly with B — the TPU-native answer to tiny
+    # problems ──
     for Bi in args.bscan:
-        if Bi == B:
-            t, st = t_fast, st_fast
-        else:
-            (Qi, ci, Ai, bi), Gzi, dzi, speci = family(Bi)
-            f = make_batched_solver(speci, _dk(jnp.float32), opts_fast)
-            t, st = timed(f, Qi, ci, Ai, bi, Gzi, dzi)
+        (Qi, ci, Ai, bi), Gzi, dzi, speci = family(Bi)
+        f = make_batched_solver(speci, _dk(None), opts_t2)
+        t, st = timed(f, Qi, ci, Ai, bi, Gzi, dzi)
         row = dict(t_s=round(t, 4), per_solve_ms=round(t / Bi * 1e3, 3),
-                   **stats(st))
-        out[f"fast_B{Bi}"] = row
-        print(json.dumps({f"fast_B{Bi}": row}), flush=True)
+                   solves_per_s=round(Bi / t, 1), **stats(st))
+        out[f"refined_B{Bi}"] = row
+        print(json.dumps({f"refined_B{Bi}": row}), flush=True)
 
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
