@@ -356,11 +356,33 @@ def solve_batch(
             # top (the host backstop remains as the safety net).
             fused_tiers = ()
         if spec.sdp_groups and not fused_tiers and auto_kkt:
-            kktsolver = _default_kktsolver(None)
-            opts = IPMOptions(**{**options, "mixedResiduals": False,
-                                 "fastEig": False,
-                                 "refinedEig": options.get(
-                                     "refinedEig", _tpu_like())})
+            # Structure exploitation first: the PSD-projection pattern
+            # (A = I, Q = qI, p = 0) solves the whole Newton system in
+            # closed form in the NT congruence's eigenbasis — one batched
+            # d×d eigh per iteration instead of the (B, t, t) f64 Schur
+            # factorization (9-39 ms/iteration at B=64, t=55 —
+            # benchmarks/tier2_body_tpu.json). Same role as kkt/diag.py
+            # on separable R problems. A cond-gated dense-f64 rescue tier
+            # backstops the rare instance whose certification exceeds the
+            # spectral path's eigh accuracy (κ(P) = κ(S)² near
+            # convergence); stallCutoff=4 ends near-tolerance plateaus as
+            # Abandoned instead of letting one stuck instance hold the
+            # vmapped loop open to maxIters.
+            from ..kkt.spectral import spectral_applicable, spectral_kktsolver
+
+            sdp_cfg = {**options, "mixedResiduals": False,
+                       "fastEig": False,
+                       "refinedEig": options.get("refinedEig", _tpu_like()),
+                       "stallCutoff": options.get("stallCutoff", 4)}
+            if spectral_applicable(Q_in, A_in, G, spec):
+                kktsolver = spectral_kktsolver(
+                    "refined" if _tpu_like() else None)
+                fused_tiers = (
+                    (_default_kktsolver(None), IPMOptions(**sdp_cfg)),
+                )
+            else:
+                kktsolver = _default_kktsolver(None)
+            opts = IPMOptions(**sdp_cfg)
 
     if fused_tiers:
         solver = make_batched_ladder_solver(

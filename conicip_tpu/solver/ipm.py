@@ -115,6 +115,16 @@ class IPMOptions:
     # since the blocked GEMM-dominant emulated-f64 kernels
     # (ops/blocked64.py) carry the slow branch.
     lastmileProactive: float = 0.0
+    # Full-precision stall cutoff: end Abandoned (best iterate kept) after
+    # this many consecutive non-improving iterations once the best
+    # residual is near tolerance (< residualSwitch x optTol). For
+    # full-precision runs there is no higher tier to escalate into, so a
+    # near-tolerance plateau would otherwise loop to maxIters — under
+    # vmap (batched solves) ONE such instance holds the whole batch's
+    # while_loop open (~100 trips for ~7 of progress, the measured
+    # batched-SDP tail). None disables (single-solve default; the mixed
+    # f32 mode has its own exhaustion detectors).
+    stallCutoff: Optional[int] = None
 
     @property
     def infeas_tol(self) -> float:
@@ -426,7 +436,8 @@ def ipm_solve(
                if (opts.refinedEig and bool(spec.sdp_groups)) else None)
 
     def body(carry):
-        z, sol, optBest, k, rnorm_prev, rstep_prev, P, drift, lm_on = carry
+        (z, sol, optBest, k, rnorm_prev, rstep_prev, P, drift, lm_on,
+         stall) = carry
         lm_was = lm_on
 
         if _fast_eig:
@@ -483,6 +494,7 @@ def ipm_solve(
         # best-iterate tracking (ConicIP.jl:768-773)
         improved = R.rmax < optBest
         optBest = jnp.where(improved, R.rmax, optBest)
+        stall = jnp.where(improved, 0, stall + 1).astype(jnp.int32)
 
         def upd(new, old):
             return jnp.where(improved, new, old)
@@ -578,6 +590,15 @@ def ipm_solve(
                 exhausted = exhausted & lm_was
             status = jnp.where(
                 (status == Status.RUNNING) & exhausted, Status.ABANDONED, status
+            )
+        if opts.stallCutoff is not None:
+            # full-precision near-tolerance plateau (IPMOptions docstring)
+            plateau = (optBest < sw * opts.optTol) & (
+                stall >= opts.stallCutoff
+            )
+            status = jnp.where(
+                (status == Status.RUNNING) & plateau, Status.ABANDONED,
+                status,
             )
         status = status.astype(jnp.int32)
 
@@ -886,10 +907,11 @@ def ipm_solve(
             )
 
         sol = replace(sol, status=status)
-        return z_new, sol, optBest, k + 1, rnorm, rstep, P, drift, lm_on
+        return (z_new, sol, optBest, k + 1, rnorm, rstep, P, drift, lm_on,
+                stall)
 
     def cond(carry):
-        _, sol, _, k, _, _, _, _, _ = carry
+        _, sol, _, k, _, _, _, _, _, _ = carry
         return (sol.status == Status.RUNNING) & (k <= opts.maxIters)
 
     if opts.verbose:
@@ -908,8 +930,9 @@ def ipm_solve(
         P0,
         inf,
         jnp.asarray(False),
+        jnp.asarray(0, jnp.int32),
     )
-    _, sol, _, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, carry0)
+    _, sol, _, _, _, _, _, _, _, _ = jax.lax.while_loop(cond, body, carry0)
 
     # loop exhausted without a status → Abandoned (ConicIP.jl:936)
     sol = replace(

@@ -206,10 +206,23 @@ def main() -> None:
         # for ~97% of instances and re-pay rescue anyway). R/Q specs
         # keep the f32 fast tier + cond-gated rescue ladder.
         if spec.sdp_groups:
+            from conicip_tpu.kkt.spectral import (spectral_applicable,
+                                                  spectral_kktsolver)
+
             opts = IPMOptions(optTol=1e-6, mixedResiduals=False,
                               centralityCorrectors=Kc, fastEig=False,
-                              refinedEig=_tpu_like(), twoModeKKT=False)
-            ladder_solver = make_batched_solver(spec, _dk(None), opts)
+                              refinedEig=_tpu_like(), twoModeKKT=False,
+                              stallCutoff=4)
+            Qh, Ah = np.asarray(fam["Q"]), np.asarray(fam["A"])
+            if spectral_applicable(Qh, Ah, None, spec):
+                kkt_sdp = spectral_kktsolver(
+                    "refined" if _tpu_like() else None)
+                # cond-gated dense-f64 rescue (production solve_batch
+                # policy): free when every instance certifies spectral
+                ladder_solver = make_batched_ladder_solver(
+                    spec, kkt_sdp, ((_dk(None), opts),), opts)
+            else:
+                ladder_solver = make_batched_solver(spec, _dk(None), opts)
         else:
             kkt = _dk(jnp.float32)
             opts = IPMOptions(optTol=1e-6, mixedResiduals=True,
