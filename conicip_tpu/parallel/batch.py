@@ -373,12 +373,30 @@ def solve_batch(
             sdp_cfg = {**options, "mixedResiduals": False,
                        "fastEig": False,
                        "refinedEig": options.get("refinedEig", _tpu_like()),
-                       "stallCutoff": options.get("stallCutoff", 4)}
+                       "stallCutoff": options.get("stallCutoff", 4),
+                       # 3 refinement passes (the default) measurably beat
+                       # 1 here: with 1, a few instances per few hundred
+                       # plateau just above 1e-6 and the rescue tiers fire
+                       # — at batch scale the dense rescue costs far more
+                       # than the two extra polish passes (measured B=256:
+                       # ref3 certifies 256/256 primary-only)
+                       "maxRefinementSteps": options.get(
+                           "maxRefinementSteps", 3)}
             if spectral_applicable(Q_in, A_in, G, spec):
                 kktsolver = spectral_kktsolver(
                     "refined" if _tpu_like() else None)
+                # rescue order matters at batch scale: a stalled instance
+                # first gets the SAME spectral solver with full polish
+                # (3 refinement passes, patient stall cutoff) — warm, a
+                # few cheap trips — and only then the dense f64 KKT tier,
+                # whose (B, t, t) factorization at large B costs seconds
+                # when it fires (measured: firing it at B=256 halved
+                # throughput).
+                polish_cfg = {**sdp_cfg, "maxRefinementSteps": 3,
+                              "stallCutoff": 8}
                 fused_tiers = (
-                    (_default_kktsolver(None), IPMOptions(**sdp_cfg)),
+                    (kktsolver, IPMOptions(**polish_cfg)),
+                    (_default_kktsolver(None), IPMOptions(**polish_cfg)),
                 )
             else:
                 kktsolver = _default_kktsolver(None)

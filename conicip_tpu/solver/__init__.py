@@ -110,6 +110,14 @@ def _auto_kktsolver(Q, A, G, spec, factor_dtype):
         return _diag_kktsolver(
             factor_dtype, "woodbury" if mode in (None, "none") else mode
         )
+    # PSD-projection structure (A = I, Q = qI, p = 0, pure-S): closed-form
+    # spectral Newton solve in the NT congruence's eigenbasis — no Schur
+    # assembly or factorization at all (kkt/spectral.py).
+    from ..kkt.spectral import spectral_applicable, spectral_kktsolver
+    from ..ops.cholesky import _tpu_like
+
+    if spectral_applicable(Q, A, G, spec):
+        return spectral_kktsolver("refined" if _tpu_like() else None)
     # single-solve f32 default gets the in-loop last-mile f64 assembly
     # (kkt/schur.py): a real lax.cond on one instance, so the final one or
     # two near-tolerance iterations pay ~1-3 ms of emulated-f64 assembly

@@ -217,10 +217,16 @@ def main() -> None:
             if spectral_applicable(Qh, Ah, None, spec):
                 kkt_sdp = spectral_kktsolver(
                     "refined" if _tpu_like() else None)
-                # cond-gated dense-f64 rescue (production solve_batch
-                # policy): free when every instance certifies spectral
+                # production solve_batch rescue order: spectral-with-full-
+                # polish first (cheap), dense f64 KKT last (expensive at
+                # batch scale); both cond-gated — free when every
+                # instance certifies in the primary tier
+                import dataclasses as _dc
+                polish = _dc.replace(opts, maxRefinementSteps=3,
+                                     stallCutoff=8)
                 ladder_solver = make_batched_ladder_solver(
-                    spec, kkt_sdp, ((_dk(None), opts),), opts)
+                    spec, kkt_sdp,
+                    ((kkt_sdp, polish), (_dk(None), polish)), opts)
             else:
                 ladder_solver = make_batched_solver(spec, _dk(None), opts)
         else:

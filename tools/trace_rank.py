@@ -32,7 +32,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", choices=["fast", "tier2"], default="tier2")
+    ap.add_argument("--mode", choices=["fast", "tier2", "spectral"],
+                    default="tier2")
     ap.add_argument("--maxiters", type=int, default=20)
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -56,6 +57,13 @@ def main() -> None:
                          refinedEig=True, twoModeKKT=False,
                          maxIters=args.maxiters)
         kkt = _dk(jnp.float32)
+    elif args.mode == "spectral":
+        from conicip_tpu.kkt.spectral import spectral_kktsolver
+
+        opts = IPMOptions(optTol=1e-6, mixedResiduals=False, fastEig=False,
+                         refinedEig=True, twoModeKKT=False, stallCutoff=4,
+                         maxIters=args.maxiters)
+        kkt = spectral_kktsolver("refined")
     else:
         opts = IPMOptions(optTol=1e-6, mixedResiduals=False, fastEig=False,
                          refinedEig=True, twoModeKKT=False,
