@@ -51,16 +51,19 @@ def _mm(a, b):
 
 
 def spectral_applicable(Q, A, G, spec: ConeSpec) -> bool:
-    """Host-side structure check: pure-S cone product, no equalities,
-    ``A = I`` and ``Q = q·I`` (q ≥ 0) for every instance (leading batch
-    dims allowed)."""
-    if spec.nr or spec.soc_groups or not spec.sdp_groups:
-        return False
+    """Host-side structure check: no equalities, ``A = I`` and
+    ``Q = q·I`` (q ≥ 0) for every instance (leading batch dims allowed).
+    Any cone mix qualifies: with A = I the operator ``I + q·FᵀF`` is
+    block-diagonal per cone group and inverts in closed form — elementwise
+    on R, Sherman-Morrison (rank-2) on SOC, eigenbasis of P = SSᵀ on S."""
     if G is not None and np.ndim(G) >= 2 and np.shape(G)[-2] > 0:
         return False
     Qh = np.asarray(Q)
     Ah = np.asarray(A)
     n = Qh.shape[-1]
+    if spec.soc_groups and float(Qh.reshape(-1, n, n)[0, 0, 0]) <= 0:
+        # the SOC Woodbury form needs q > 0 (its 2x2 uses (qC)^-1)
+        return False
     if Ah.shape[-2] != n or Ah.shape[-1] != n:
         return False
     eye = np.eye(n)
@@ -80,9 +83,12 @@ def kktsolver_spectral(Q, A, G, spec: ConeSpec, *, eig_dtype=None):
     cone layer's contract (None = stock at working dtype; ``"refined"`` =
     GEMM-dominant f32-seed + exact-f64 sweeps — the TPU choice)."""
     from ..cones.algebra import _eigh_d
-    from ..cones.segment import put_group, take_group
+    from ..cones.segment import (put_group, put_r, take_group, take_r)
 
     q = Q[0, 0]
+
+    def _dot2(a, b):
+        return jnp.sum(a * b, axis=-1)
 
     def solve3x3gen(F, FinvT):
         # Per-iteration decomposition: P = S Sᵀ per S group, diagonalized.
@@ -92,9 +98,66 @@ def kktsolver_spectral(Q, A, G, spec: ConeSpec, *, eig_dtype=None):
             P = 0.5 * (P + jnp.swapaxes(P, -1, -2))
             theta, V = _eigh_d(P, eig_dtype)
             eigs.append((theta, V, P))
+        # R rows: FᵀF = diag(r_d²)
+        w_r = F.r_d * F.r_d if spec.nr else None
+        # SOC cones: FᵀF = F² = diag(d²) + α(v₁uᵀ + uv₁ᵀ) + α²(uᵀu)uuᵀ
+        # with v₁ = d∘u — rank-2 in span{u, v₁}; precompute the pieces of
+        # the Woodbury inverse of D + q·(rank-2), D = diag(1 + q d²).
+        socs = []
+        for sc_ in F.soc:
+            v1 = sc_.d * sc_.u
+            s_uu = _dot2(sc_.u, sc_.u)
+            socs.append((sc_, v1, s_uu))
+
+        def _soc_ftf(sc_, v1, s_uu, xg):
+            ux = _dot2(sc_.u, xg)[..., None]
+            v1x = _dot2(v1, xg)[..., None]
+            return (
+                sc_.d * sc_.d * xg
+                + sc_.alpha[..., None] * (v1 * ux + sc_.u * v1x)
+                + (sc_.alpha * sc_.alpha * s_uu)[..., None] * sc_.u * ux
+            )
+
+        def _soc_solve(sc_, v1, s_uu, rhs):
+            # (D + q·U C Uᵀ)⁻¹ rhs, U = [u, v₁], C = [[α²s, α], [α, 0]],
+            # D = diag(1 + q d²): Woodbury with an explicit 2×2 inverse of
+            # K = C⁻¹/q + UᵀD⁻¹U. With α → 0 the correction vanishes;
+            # computed via the adjugate so the α=0 limit is exact (scale
+            # K by α: α·K stays finite).
+            D = 1.0 + q * sc_.d * sc_.d
+            ir = rhs / D
+            iu = sc_.u / D
+            iv = v1 / D
+            # UᵀD⁻¹U entries
+            a11 = _dot2(sc_.u, iu)
+            a12 = _dot2(sc_.u, iv)
+            a22 = _dot2(v1, iv)
+            al = sc_.alpha
+            # C⁻¹ = [[0, 1/α], [1/α, −s]] ⇒ α·K = [[α a11, 1/q + α a12],
+            # [1/q + α a12, −α s/q + α a22]] (finite at α = 0)
+            k11 = al * a11
+            k12 = 1.0 / q + al * a12
+            k22 = -al * s_uu / q + al * a22
+            det = k11 * k22 - k12 * k12
+            # rhs of the 2×2: α·[uᵀD⁻¹r, v₁ᵀD⁻¹r] (the α from scaling K)
+            r1 = al * _dot2(sc_.u, ir)
+            r2 = al * _dot2(v1, ir)
+            # solve (αK) y = α r ⇒ y = K⁻¹ r
+            y1 = (k22 * r1 - k12 * r2) / det
+            y2 = (k11 * r2 - k12 * r1) / det
+            corr = iu * y1[..., None] + iv * y2[..., None]
+            return ir - corr
 
         def base_solve(x, z):
             a = jnp.zeros_like(x)
+            if spec.nr:
+                xr, zr = take_r(spec, x), take_r(spec, z)
+                a = put_r(spec, a, (zr + w_r * xr) / (1.0 + q * w_r))
+            for g, (sc_, v1, s_uu) in zip(spec.soc_groups, socs):
+                xg = take_group(g, x)
+                zg = take_group(g, z)
+                rhs = zg + _soc_ftf(sc_, v1, s_uu, xg)
+                a = put_group(g, a, _soc_solve(sc_, v1, s_uu, rhs))
             for g, (theta, V, _P) in zip(spec.sdp_groups, eigs):
                 X = mat(take_group(g, x))
                 Z = mat(take_group(g, z))
@@ -107,9 +170,16 @@ def kktsolver_spectral(Q, A, G, spec: ConeSpec, *, eig_dtype=None):
             return a
 
         def cone_residual(a, c, z):
-            # z − a − FᵀF c, with FᵀF applied EXACTLY (congruence by P,
-            # working-dtype HIGHEST matmuls) — independent of the eigh.
+            # z − a − FᵀF c, with FᵀF applied EXACTLY per block —
+            # independent of the eigendecomposition.
             r = z - a
+            if spec.nr:
+                r = put_r(spec, r,
+                          take_r(spec, r) - w_r * take_r(spec, c))
+            for g, (sc_, v1, s_uu) in zip(spec.soc_groups, socs):
+                cg = take_group(g, c)
+                r = put_group(
+                    g, r, take_group(g, r) - _soc_ftf(sc_, v1, s_uu, cg))
             for g, (_theta, _V, P) in zip(spec.sdp_groups, eigs):
                 C = mat(take_group(g, c))
                 PCP = _mm(_mm(P, C), P)

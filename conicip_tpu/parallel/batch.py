@@ -334,9 +334,16 @@ def solve_batch(
                 (_default_kktsolver(jnp.float32, jnp.float64),
                  IPMOptions(**{**options, "mixedResiduals": True,
                                "fastEig": False})),
+                # full-precision final tier: no exhaustion detectors run
+                # without mixedResiduals, so a near-tolerance plateau
+                # would hold the vmapped loop open to maxIters — the
+                # stallCutoff ends it with the best iterate (host
+                # backstop owns the remainder)
                 (_default_kktsolver(None),
                  IPMOptions(**{**options, "mixedResiduals": False,
-                               "fastEig": False})),
+                               "fastEig": False,
+                               "stallCutoff": options.get(
+                                   "stallCutoff", 6)})),
             )
         else:
             # S-cone batched policy (r5, measured on chip —

@@ -41,10 +41,14 @@ def test_spectral_applicable(rng):
     assert not spectral_applicable(Q2, I, None, spec)
     # equalities present
     assert not spectral_applicable(I, I, np.ones((1, n)), spec)
-    # mixed cones
-    assert not spectral_applicable(
+    # mixed cones DO qualify (generalized backend, r5)
+    assert spectral_applicable(
         np.eye(n + 2), np.eye(n + 2), None,
         ConeSpec([("R", 2), ("S", n)]))
+    # ... but SOC cones need q > 0
+    assert not spectral_applicable(
+        np.zeros((n + 3, n + 3)), np.eye(n + 3), None,
+        ConeSpec([("Q", 3), ("S", n)]))
 
 
 @pytest.mark.parametrize("q", [0.0, 1.0, 2.5])
@@ -69,6 +73,52 @@ def test_spectral_solve_satisfies_kkt_equations(rng, q):
     np.testing.assert_allclose(q * a - c, x, atol=1e-9)
     FtFc = sc.apply_adjoint(spec, F, sc.apply(spec, F, c))
     np.testing.assert_allclose(a + FtFc, z, atol=1e-8)
+
+
+@pytest.mark.parametrize("q", [0.7, 1.0])
+def test_spectral_mixed_cones_satisfies_kkt_equations(rng, q):
+    # generalized backend: R + Q + S mix with A = I, Q = qI
+    n_r, n_q, k = 6, 5, 4
+    n = n_r + n_q + tri_dim(k)
+    spec = ConeSpec([("R", n_r), ("Q", n_q), ("S", tri_dim(k))])
+    # strictly interior z, s for every cone block
+    def interior():
+        v = np.empty(n)
+        v[:n_r] = 0.5 + rng.random(n_r)
+        tail = 0.3 * rng.standard_normal(n_q - 1)
+        v[n_r] = np.linalg.norm(tail) + 0.5 + rng.random()
+        v[n_r + 1:n_r + n_q] = tail
+        v[n_r + n_q:] = _interior(rng, k)
+        return jnp.asarray(v)
+
+    F = sc.nt_scaling(spec, interior(), interior())
+    FinvT = sc.nt_inv_adjoint(spec, F)
+    Q = q * jnp.eye(n)
+    A = jnp.eye(n)
+    G = jnp.zeros((0, n))
+    gen = kktsolver_spectral(Q, A, G, spec)
+    solve = gen(F, FinvT)
+    x = jnp.asarray(rng.standard_normal(n))
+    z = jnp.asarray(rng.standard_normal(n))
+    a, b, c = solve(x, jnp.zeros(0), z)
+    np.testing.assert_allclose(q * a - c, x, atol=1e-9)
+    FtFc = sc.apply_adjoint(spec, F, sc.apply(spec, F, c))
+    np.testing.assert_allclose(a + FtFc, z, atol=1e-8)
+
+
+def test_solve_batch_mixed_rqs_autoselects_spectral_and_matches_dense():
+    from conicip_tpu.models.generators import batched_mixed_rqs
+
+    Q, c, A, b, cones = batched_mixed_rqs(batch=3)
+    got = solve_batch(Q, c, A, b, cones)  # auto: generalized spectral
+    ref = solve_batch(Q, c, A, b, cones,
+                      kktsolver=_default_kktsolver(None),
+                      mixedResiduals=False)
+    assert got.statuses == ["Optimal"] * 3
+    assert ref.statuses == ["Optimal"] * 3
+    np.testing.assert_allclose(got.y, ref.y, atol=1e-5)
+    resid = np.maximum(got.prFeas, np.maximum(got.duFeas, got.muFeas))
+    assert float(np.max(resid)) < 1e-6
 
 
 def test_solve_batch_autoselects_spectral_and_matches_dense():

@@ -241,7 +241,8 @@ def main() -> None:
                             twoModeKKT=False)),
                 (_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
                                        centralityCorrectors=Kc,
-                                       fastEig=False, twoModeKKT=False)),
+                                       fastEig=False, twoModeKKT=False,
+                                       stallCutoff=6)),
             )
             ladder_solver = make_batched_ladder_solver(spec, kkt, tiers,
                                                        opts)
