@@ -207,11 +207,24 @@ def solve_batch(
     # factorization's conditioning; eliminating once turns the whole batch
     # into the robust p = 0 path). One host QR of G amortizes over every
     # instance; per-instance d is fine (y0 is linear in d).
+    # EXCEPTION (r5): when the DIRECT form has diag+low-rank Schur
+    # structure (bound R rows + small SOC/equality blocks —
+    # kkt/lowrank.py), elimination would DESTROY it (A·Z is dense);
+    # the direct ladder with the lowrank f64 finisher is both exact on
+    # equalities and ~10x cheaper per iteration than the dense f64
+    # factorization of the reduced problem.
     g_is_shared = G is not None and np.ndim(G) == 2
+    use_lowrank = False
+    if kktsolver is None and factor_dtype == jnp.float32 and backstop:
+        from ..kkt.lowrank import lowrank_applicable
+
+        use_lowrank = lowrank_applicable(
+            Q_in, A_in, G, ConeSpec(tuple(cone_dims)))
     if eliminate_equalities is None:
         eliminate_equalities = (
             factor_dtype == jnp.float32 and g_is_shared
             and np.shape(G)[0] > 0 and kktsolver is None
+            and not use_lowrank
         )
     if eliminate_equalities and np.shape(G)[0] > 0:
         if not g_is_shared:
@@ -330,21 +343,37 @@ def solve_batch(
         from ..ops.cholesky import _tpu_like
 
         if not spec.sdp_groups:
-            fused_tiers = (
-                (_default_kktsolver(jnp.float32, jnp.float64),
-                 IPMOptions(**{**options, "mixedResiduals": True,
-                               "fastEig": False})),
-                # full-precision final tier: no exhaustion detectors run
-                # without mixedResiduals, so a near-tolerance plateau
-                # would hold the vmapped loop open to maxIters — the
-                # stallCutoff ends it with the best iterate (host
-                # backstop owns the remainder)
-                (_default_kktsolver(None),
-                 IPMOptions(**{**options, "mixedResiduals": False,
-                               "fastEig": False,
-                               "stallCutoff": options.get(
-                                   "stallCutoff", 6)})),
-            )
+            if use_lowrank:
+                # direct diag+low-rank path: f32 dense warm-up tier is
+                # the main solve; ONE exact-f64 lowrank finisher (the
+                # middle f64-assembly tier was measured useless on this
+                # structure — every stalled instance needs the full-f64
+                # factor, which lowrank makes ~10x cheaper)
+                from ..kkt.lowrank import lowrank_kktsolver
+
+                fused_tiers = (
+                    (lowrank_kktsolver(),
+                     IPMOptions(**{**options, "mixedResiduals": False,
+                                   "fastEig": False,
+                                   "stallCutoff": options.get(
+                                       "stallCutoff", 6)})),
+                )
+            else:
+                fused_tiers = (
+                    (_default_kktsolver(jnp.float32, jnp.float64),
+                     IPMOptions(**{**options, "mixedResiduals": True,
+                                   "fastEig": False})),
+                    # full-precision final tier: no exhaustion detectors
+                    # run without mixedResiduals, so a near-tolerance
+                    # plateau would hold the vmapped loop open to
+                    # maxIters — the stallCutoff ends it with the best
+                    # iterate (host backstop owns the remainder)
+                    (_default_kktsolver(None),
+                     IPMOptions(**{**options, "mixedResiduals": False,
+                                   "fastEig": False,
+                                   "stallCutoff": options.get(
+                                       "stallCutoff", 6)})),
+                )
         else:
             # S-cone batched policy (r5, measured on chip —
             # benchmarks/sdp_stage_split_tpu.json): the f32 tiers are a

@@ -141,33 +141,23 @@ def main() -> None:
                     Kc=1, note="Q generated on device (tunnel transfer)")
 
     def family_mixed_rq_eq():
-        # reference shape (n=200, n_q=51, p=10; profile.jl:99-113) with a
-        # shared equality system. The chain times the REDUCED batched
-        # solve (module docstring): one host QR of G + per-step reduced
-        # transforms here, the in-jit ladder on the reduced R+Q problem
-        # on device — production solve_batch's eliminate_equalities path.
-        from conicip_tpu.reduce import equality_basis
-
+        # reference shape (n=200, n_q=51, p=10; profile.jl:99-113).
+        # Production (r5) solves the DIRECT form: the bound-R + small-SOC
+        # + equality structure is diag+low-rank (kkt/lowrank.py), which
+        # the null-space elimination would destroy (A Z is dense). The
+        # ladder here mirrors solve_batch: f32 dense warm-up + ONE exact
+        # lowrank f64 finisher.
         n, n_q, p = 200, 51, 10
         Q, c, A, b, cones, G, d = gen.batched_mixed_rq_eq(
             B, n=n, n_q=n_q, p=p)
-        basis = equality_basis(np.asarray(G, np.float64))
-        Z = np.asarray(basis.Z)  # (n, n_red), orthonormal
-        y0 = basis.particular(np.asarray(d, np.float64))  # (B, n)
-        A0 = np.asarray(A[0])  # rows shared across instances
-        A_red = A0 @ Z  # shared (m, n_red)
-        b_red = np.asarray(b) - np.einsum("ij,bj->bi", A0, y0)
-        n_red = Z.shape[1]
 
         def fresh_c(count):
-            cs = rng.standard_normal((count, B, n))
-            # c_red = Zᵀ(c − Q y0), Q = I for this family
-            return np.einsum("cbj,jk->cbk", cs - y0[None], Z)
+            return rng.standard_normal((count, B, n))
 
-        return dict(Q=np.eye(n_red), A=A_red, b=b_red, cones=cones,
-                    fresh_c=fresh_c, Kc=2,
-                    note="reduced batched solve (shared-G elimination); "
-                         "host QR + full-space recovery amortized")
+        return dict(Q=Q[0], A=A[0], b=b, cones=cones, G=np.asarray(G),
+                    d=np.asarray(d), fresh_c=fresh_c, Kc=1,
+                    note="direct ladder (f32 dense warm-up + lowrank f64 "
+                         "finisher)")
 
     FAMILIES = {
         "batched_small_sdp": family_small_sdp,
@@ -230,24 +220,43 @@ def main() -> None:
             else:
                 ladder_solver = make_batched_solver(spec, _dk(None), opts)
         else:
+            from conicip_tpu.kkt.lowrank import (lowrank_applicable,
+                                                  lowrank_kktsolver)
+
             kkt = _dk(jnp.float32)
             opts = IPMOptions(optTol=1e-6, mixedResiduals=True,
                               centralityCorrectors=Kc,
                               twoModeKKT=False)
-            tiers = (
-                (_dk(jnp.float32, jnp.float64),
-                 IPMOptions(optTol=1e-6, mixedResiduals=True,
-                            centralityCorrectors=Kc, fastEig=False,
-                            twoModeKKT=False)),
-                (_dk(None), IPMOptions(optTol=1e-6, mixedResiduals=False,
-                                       centralityCorrectors=Kc,
-                                       fastEig=False, twoModeKKT=False,
-                                       stallCutoff=6)),
-            )
+            if lowrank_applicable(np.asarray(fam["Q"]),
+                                  np.asarray(fam["A"]), fam.get("G"),
+                                  spec):
+                tiers = (
+                    (lowrank_kktsolver(),
+                     IPMOptions(optTol=1e-6, mixedResiduals=False,
+                                centralityCorrectors=Kc, fastEig=False,
+                                twoModeKKT=False, stallCutoff=6)),
+                )
+            else:
+                tiers = (
+                    (_dk(jnp.float32, jnp.float64),
+                     IPMOptions(optTol=1e-6, mixedResiduals=True,
+                                centralityCorrectors=Kc, fastEig=False,
+                                twoModeKKT=False)),
+                    (_dk(None),
+                     IPMOptions(optTol=1e-6, mixedResiduals=False,
+                                centralityCorrectors=Kc,
+                                fastEig=False, twoModeKKT=False,
+                                stallCutoff=6)),
+                )
             ladder_solver = make_batched_ladder_solver(spec, kkt, tiers,
                                                        opts)
-        Gb = jnp.zeros((B, 0, n))
-        db = jnp.zeros((B, 0))
+        if fam.get("G") is not None and np.shape(fam["G"])[0] > 0:
+            pG = np.shape(fam["G"])[0]
+            Gb = jnp.broadcast_to(jnp.asarray(fam["G"]), (B, pG, n))
+            db = jnp.asarray(fam["d"])
+        else:
+            Gb = jnp.zeros((B, 0, n))
+            db = jnp.zeros((B, 0))
 
         cs = jax.device_put(jnp.asarray(fam["fresh_c"](2 * K)))
         Qd = jax.device_put(jnp.asarray(fam["Q"]))
