@@ -62,6 +62,14 @@ def lowrank_applicable(Q, A, G, spec: ConeSpec, max_rank: int = 160) -> bool:
     p = 0 if G is None else np.shape(G)[-2]
     if m_s <= 0 or m_s + p > max_rank:
         return False
+    if p:
+        # rank-deficient / inconsistent equality systems keep the
+        # elimination path, whose host-side rank repair and consistency
+        # check (preprocessor semantics) the direct saddle lacks
+        Gh = np.asarray(G, np.float64)
+        for Gi in Gh.reshape(-1, p, Gh.shape[-1]):
+            if np.linalg.matrix_rank(Gi) < p:
+                return False
     # R rows must come first and equal I (segment layout: R block leads)
     r_idx = np.asarray(spec.r_idx)
     if r_idx.size != n or not np.array_equal(r_idx, np.arange(n)):
